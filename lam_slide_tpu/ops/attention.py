@@ -1,0 +1,95 @@
+"""Attention primitives with pluggable TPU backends.
+
+The reference reaches flash attention through torch SDPA
+(torch_modules.py:184, mmdit.py:51) and offers an O(N) linear-attention mode
+(mmdit.py:58-72). Here the same surface is a single functional API:
+
+    dot_product_attention(q, k, v, mask=..., scale=..., backend=...)
+
+* ``backend="xla"``    — einsum + fp32 softmax; XLA fuses this into an MXU
+  pipeline and is the fastest choice for the short sequences this model
+  family actually runs (L = 2..192 latents, T = 10..1000 frames).
+* ``backend="pallas"`` — Pallas flash-attention kernel (ops/flash_attention.py)
+  for long temporal axes; falls back to XLA off-TPU or for tiny shapes.
+* ``backend="auto"``   — size/platform-based dispatch.
+
+Shapes: q [B, H, Lq, Dh]; k, v [B, H, Lk, Dh]; mask is a boolean key-padding
+mask [B, Lk] (True = attend) or a broadcastable [B, 1, Lq, Lk] tensor.
+"""
+
+from typing import Optional
+
+import jax
+from jax import numpy as jnp
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _expand_mask(mask: jnp.ndarray, q_len: int) -> jnp.ndarray:
+    if mask.ndim == 2:  # [B, Lk] key padding mask
+        return mask[:, None, None, :]
+    if mask.ndim == 4:
+        return mask
+    raise ValueError(f"mask must be rank 2 or 4, got rank {mask.ndim}")
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention path: fp32 softmax, bf16-friendly matmuls."""
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.5 if scale is None else scale
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * jnp.asarray(scale, dtype=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(_expand_mask(mask, q.shape[-2]), logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """O(N) linear attention (reference mmdit.py:58-72).
+
+    softmax(q) over features, softmax(k) over sequence, then two matmuls.
+    """
+    dim = q.shape[-1]
+    q = jax.nn.softmax(q.astype(jnp.float32), axis=-1)
+    k = jax.nn.softmax(k.astype(jnp.float32), axis=-2)
+    q = q * dim**-0.5
+    context = jnp.einsum("bhnd,bhne->bhde", k, v.astype(jnp.float32))
+    out = jnp.einsum("bhnd,bhde->bhne", q, context)
+    return out.astype(v.dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Masked multi-head attention with backend dispatch (see module docstring)."""
+    if backend == "auto":
+        backend = _pick_backend(q, mask)
+    if backend == "pallas":
+        from lam_slide_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask, scale=scale)
+    if backend == "xla":
+        return xla_attention(q, k, v, mask=mask, scale=scale)
+    raise ValueError(f"unknown attention backend: {backend}")
+
+
+def _pick_backend(q: jnp.ndarray, mask: Optional[jnp.ndarray]) -> str:
+    # Flash pays off once the score matrix stops fitting comfortably in VMEM;
+    # for the factorized DiT axes (<=1000) XLA's fused softmax wins below ~512.
+    on_tpu = jax.default_backend() == "tpu"
+    seq = max(q.shape[-2], 1)
+    if on_tpu and seq >= 512 and mask is None:
+        return "pallas"
+    return "xla"
