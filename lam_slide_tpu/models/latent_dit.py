@@ -1,0 +1,328 @@
+"""Factorized spatial/temporal latent diffusion transformer.
+
+The stage-2 denoiser: a flux-style DiT over latent trajectories
+``[B, T, L, D]`` whose every layer runs AdaLN-modulated attention twice —
+once over the L latent tokens of each frame ("spatial") and once over the T
+frames of each latent token ("temporal"). Capability-parity target:
+reference ``src/models/components/latent/latent_si_v31.py`` +
+``mmdit.py`` (RoPE, QKNorm, Modulation, ParallelMLPAttentionV2).
+
+TPU-first design notes
+----------------------
+* The factorization is the long-context strategy: attention length is
+  max(T, L) <= ~1000, never T*L, so both axes stay MXU-friendly.
+* RoPE is precomputed once per forward as fp32 cos/sin tables of shape
+  [axis_len, head_dim/2] and applied with two fused multiplies — no 2x2
+  rotation-matrix materialization like the reference
+  (mmdit.py:75-90), same math, a fraction of the HBM traffic.
+* ``linear1`` fuses QKV and MLP-up into a single matmul; ``linear2`` fuses
+  attention-out and MLP-down (reference mmdit.py:215-249) — two big MXU
+  matmuls per block per axis.
+* Spatial attention folds T into the batch via a free reshape; temporal
+  attention transposes to [B, L, T, D] once per block. Params live in fp32,
+  activations in the configurable compute dtype (bf16 in training configs).
+* ``checkpointing=True`` wraps each layer in ``jax.checkpoint`` (remat) to
+  trade FLOPs for HBM on long-T peptide runs.
+"""
+
+import math
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+from flax import linen as nn
+from jax import numpy as jnp
+
+from lam_slide_tpu.nn import initializers as inits
+from lam_slide_tpu.nn.blocks import torch_linear_init
+from lam_slide_tpu.nn.embeddings import timestep_embedding
+from lam_slide_tpu.nn.norms import QKNorm, layer_norm
+from lam_slide_tpu.ops.attention import dot_product_attention, linear_attention
+
+
+def rope_cos_sin(n: int, dim: int, theta: float = 10_000.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotary tables for positions arange(n): (cos, sin), each [n, dim//2], fp32."""
+    assert dim % 2 == 0
+    scale = jnp.arange(0, dim, 2, dtype=jnp.float32) / dim
+    omega = 1.0 / (theta**scale)
+    out = jnp.arange(n, dtype=jnp.float32)[:, None] * omega[None]
+    return jnp.cos(out), jnp.sin(out)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate adjacent feature pairs of x [..., n, d] by position angle.
+
+    Matches reference apply_rope (mmdit.py:84-90): pairs are (even, odd)
+    adjacent features; fp32 math, cast back to input dtype.
+    """
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    x_even = x32[..., 0::2]
+    x_odd = x32[..., 1::2]
+    out_even = cos * x_even - sin * x_odd
+    out_odd = sin * x_even + cos * x_odd
+    out = jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape)
+    return out.astype(dtype)
+
+
+class ModulationOut(NamedTuple):
+    shift: jnp.ndarray  # [B, 1, 1, D]
+    scale: jnp.ndarray
+    gate: jnp.ndarray
+
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """AdaLN modulation x * (1 + scale) + shift (reference mmdit.py:21-22)."""
+    return x * (1.0 + scale.astype(x.dtype)) + shift.astype(x.dtype)
+
+
+class Modulation(nn.Module):
+    """vec [B, D] -> 1 or 2 (shift, scale, gate) triples (mmdit.py:184-197).
+
+    Zero-initialized (when the parent requests reference init) so every block
+    starts as identity.
+    """
+
+    dim: int
+    double: bool = True
+    zero_init: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vec: jnp.ndarray):
+        mult = 6 if self.double else 3
+        kernel_init = inits.zeros if self.zero_init else torch_linear_init
+        out = nn.Dense(
+            mult * self.dim, kernel_init=kernel_init, dtype=self.dtype, name="lin"
+        )(nn.silu(vec))
+        out = out[:, None, None, :]  # broadcast over (T, L)
+        parts = jnp.split(out, mult, axis=-1)
+        first = ModulationOut(*parts[:3])
+        second = ModulationOut(*parts[3:]) if self.double else None
+        return first, second
+
+
+class MLPEmbedder(nn.Module):
+    """Linear -> SiLU -> Linear vector embedder (mmdit.py:116-124)."""
+
+    hidden_dim: int
+    use_normal_init: bool = True  # reference: std=0.02 normals for time/vec embedders
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kinit = inits.normal_002 if self.use_normal_init else torch_linear_init
+        x = nn.Dense(self.hidden_dim, kernel_init=kinit, dtype=self.dtype, name="in_layer")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.hidden_dim, kernel_init=kinit, dtype=self.dtype, name="out_layer")(x)
+
+
+class ParallelMLPAttention(nn.Module):
+    """Fused attention ∥ MLP block (reference ParallelMLPAttentionV2).
+
+    One matmul produces QKV and the MLP-up projection; attention output and
+    gelu(mlp) are concatenated and reduced by a second matmul.
+    x: [B', n, D] with RoPE tables for the n axis.
+    """
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 2.0
+    qk_scale: Optional[float] = None
+    attention_mode: str = "scaled_dot_product"
+    backend: str = "auto"
+    reference_init: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, cos: Optional[jnp.ndarray] = None, sin: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        d = self.hidden_size
+        h = self.num_heads
+        dh = d // h
+        mlp_hidden = int(d * self.mlp_ratio)
+        kinit = inits.attn_kernel_init if self.reference_init else torch_linear_init
+
+        fused = nn.Dense(
+            3 * d + mlp_hidden, kernel_init=kinit, dtype=self.dtype, name="linear1"
+        )(x)
+        qkv, mlp = jnp.split(fused, [3 * d], axis=-1)
+
+        b, n = x.shape[0], x.shape[1]
+        # "B L (K H Dh)" with K major (reference rearrange K=3, H=heads)
+        qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q, k = QKNorm(name="norm")(q, k)
+        q = q.astype(v.dtype)
+        k = k.astype(v.dtype)
+        if cos is not None:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        if self.attention_mode == "linear":
+            attn = linear_attention(q, k, v)
+        else:
+            attn = dot_product_attention(q, k, v, scale=self.qk_scale, backend=self.backend)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, n, d)
+
+        out = jnp.concatenate([attn, nn.gelu(mlp, approximate=False)], axis=-1)
+        return nn.Dense(d, kernel_init=kinit, bias_init=inits.zeros, dtype=self.dtype, name="linear2")(out)
+
+
+class LatentDiTLayer(nn.Module):
+    """One factorized spatial+temporal AdaLN block (latent_si_v31.py:19-63)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 2.0
+    attention_mode: str = "scaled_dot_product"
+    backend: str = "auto"
+    reference_init: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, vec, sp_cos, sp_sin, tm_cos, tm_sin):
+        b, t, l, d = x.shape
+        mod1, mod2 = Modulation(
+            dim=self.hidden_size,
+            double=True,
+            zero_init=self.reference_init,
+            dtype=self.dtype,
+            name="modulation",
+        )(vec)
+
+        spatial = ParallelMLPAttention(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            attention_mode=self.attention_mode,
+            backend=self.backend,
+            reference_init=self.reference_init,
+            dtype=self.dtype,
+            name="spatial_block",
+        )
+        temporal = ParallelMLPAttention(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            attention_mode=self.attention_mode,
+            backend=self.backend,
+            reference_init=self.reference_init,
+            dtype=self.dtype,
+            name="temporal_block",
+        )
+
+        h = modulate(layer_norm(x, eps=1e-6), mod1.shift, mod1.scale)
+        h = spatial(h.reshape(b * t, l, d), sp_cos, sp_sin).reshape(b, t, l, d)
+        x = x + mod1.gate.astype(x.dtype) * h
+
+        h = modulate(layer_norm(x, eps=1e-6), mod2.shift, mod2.scale)
+        h = h.transpose(0, 2, 1, 3).reshape(b * l, t, d)
+        h = temporal(h, tm_cos, tm_sin).reshape(b, l, t, d).transpose(0, 2, 1, 3)
+        x = x + mod2.gate.astype(x.dtype) * h
+        return x
+
+
+class LatentDiT(nn.Module):
+    """Conditional latent-trajectory denoiser (reference LatentSIV3).
+
+    forward(x, t, x_cond, x_cond_mask, y=None):
+      x, x_cond: [B, T, L, in_dim]; t: [B] in [0, 1];
+      x_cond_mask: [B, T, L] int (1 = conditioning frame); y: [B, vec_in_dim].
+    Returns [B, T, L, in_dim].
+    """
+
+    depth: int
+    in_dim: int
+    hidden_size: int
+    num_heads: int
+    vec_in_dim: Optional[int] = None
+    mlp_ratio: float = 2.0
+    n_timesteps: int = 10
+    theta: float = 10_000.0
+    checkpointing: bool = False
+    normalize: bool = False
+    attention_mode: str = "scaled_dot_product"
+    share_weights: bool = False
+    reference_init: bool = True
+    backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        x_cond: jnp.ndarray,
+        x_cond_mask: jnp.ndarray,
+        y: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if self.hidden_size % self.num_heads != 0:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} not divisible by num_heads {self.num_heads}"
+            )
+        b, t_len, l_len, _ = x.shape
+        d = self.hidden_size
+        kinit = inits.attn_kernel_init if self.reference_init else torch_linear_init
+
+        x = x.astype(self.dtype)
+        h = (
+            nn.Dense(d, kernel_init=kinit, dtype=self.dtype, name="x_in")(x)
+            + nn.Dense(d, kernel_init=kinit, dtype=self.dtype, name="cond_to_emb")(
+                x_cond.astype(self.dtype)
+            )
+            + nn.Embed(
+                2, d, embedding_init=nn.initializers.normal(stddev=1.0), dtype=self.dtype,
+                name="mask_to_emb",
+            )(x_cond_mask.astype(jnp.int32))
+        )
+        if self.normalize:
+            h = layer_norm(h, eps=1e-5)
+
+        vec = MLPEmbedder(hidden_dim=d, dtype=self.dtype, name="time_in")(
+            timestep_embedding(t, 256).astype(self.dtype)
+        )
+        if y is not None:
+            if self.vec_in_dim is None:
+                raise ValueError("y given but vec_in_dim not configured")
+            vec = vec + MLPEmbedder(hidden_dim=d, dtype=self.dtype, name="vec_in")(
+                y.astype(self.dtype)
+            )
+
+        pe_dim = d // self.num_heads
+        sp_cos, sp_sin = rope_cos_sin(l_len, pe_dim, self.theta)
+        tm_cos, tm_sin = rope_cos_sin(t_len, pe_dim, self.theta)
+
+        layer_kwargs = dict(
+            hidden_size=d,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            attention_mode=self.attention_mode,
+            backend=self.backend,
+            reference_init=self.reference_init,
+            dtype=self.dtype,
+        )
+        layer_cls = nn.remat(LatentDiTLayer) if self.checkpointing else LatentDiTLayer
+        if self.share_weights:
+            block = layer_cls(**layer_kwargs, name="block_shared")
+            blocks = [block] * self.depth
+        else:
+            blocks = [layer_cls(**layer_kwargs, name=f"block_{i}") for i in range(self.depth)]
+
+        for block in blocks:
+            h = block(h, vec, sp_cos, sp_sin, tm_cos, tm_sin)
+
+        # Final AdaLN + zero-init projection (latent_si_v31.py:119-124,185-187).
+        mod = nn.Dense(
+            2 * d,
+            kernel_init=inits.attn_kernel_init if self.reference_init else torch_linear_init,
+            dtype=self.dtype,
+            name="adaLN_out",
+        )(nn.silu(vec))
+        shift, scale = jnp.split(mod[:, None, None, :], 2, axis=-1)
+        h = modulate(layer_norm(h, eps=1e-6), shift, scale)
+        out_kinit = inits.zeros if self.reference_init else torch_linear_init
+        return nn.Dense(
+            self.in_dim, kernel_init=out_kinit, bias_init=inits.zeros, dtype=self.dtype,
+            name="linear_out",
+        )(h).astype(jnp.float32)

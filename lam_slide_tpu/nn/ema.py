@@ -11,7 +11,9 @@ from jax import numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree.map(jnp.asarray, params)
+    # Real copies, not aliases: the train step donates the whole TrainState,
+    # and XLA rejects donating the same buffer through two pytree leaves.
+    return jax.tree.map(jnp.copy, params)
 
 
 def ema_update(ema_params, params, decay: float):
