@@ -1,0 +1,91 @@
+"""Host-side data loader: shuffle, batch, collate, prefetch.
+
+Replaces torch DataLoader workers (num_workers=31 in the reference configs,
+SURVEY.md §2.8) with a single background prefetch thread. The per-sample
+work here is trivially cheap (numpy slicing + a 3x3 rotation); the expensive
+preprocessing is done once at dataset build time, so one producer thread
+keeps a TPU step loop fed. Batches are optionally device_put with
+batch-axis sharding so host→HBM transfer overlaps compute.
+"""
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class Dataset:
+    """Minimal map-style dataset protocol: __len__ + sample(idx, rng)."""
+
+    def __len__(self) -> int:  # pragma: no cover - protocol
+        raise NotImplementedError
+
+    def sample(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        raise NotImplementedError  # pragma: no cover - protocol
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        collate_fn: Callable[[Sequence[Dict[str, np.ndarray]]], Dict[str, np.ndarray]],
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        transform: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.transform = transform
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self, rng: np.random.Generator):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        n_batches = len(self)
+        for i in range(n_batches):
+            yield order[i * self.batch_size : (i + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = self._epoch
+        self._epoch += 1
+        rng = np.random.default_rng((self.seed, epoch))
+
+        def produce(out_q: queue.Queue):
+            try:
+                for idx_batch in self._batch_indices(rng):
+                    samples = [self.dataset.sample(int(i), rng) for i in idx_batch]
+                    batch = self.collate_fn(samples)
+                    if self.transform is not None:
+                        batch = self.transform(batch)
+                    out_q.put(batch)
+            except BaseException as e:  # surface worker errors in the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -1,0 +1,98 @@
+"""Jitted train/eval step factories.
+
+One ``train_step`` fuses forward, backward, optimizer update and EMA into a
+single XLA program with donated state buffers (the reference spreads these
+over Lightning hooks: training_step → backward → optimizer →
+on_before_zero_grad EMA; lightning_base.py:78-80). Under a data mesh the
+same step is jitted with batch-sharded inputs and replicated state — XLA's
+SPMD partitioner inserts the gradient all-reduce over ICI (the NCCL
+equivalent, SURVEY.md §2.8).
+
+``loss_fn`` contract:
+    loss_fn(params, constants, batch, rng, train) -> (loss, metrics_dict)
+"""
+
+from typing import Callable, Optional
+
+import jax
+import optax
+from jax import numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lam_slide_tpu.nn.ema import ema_update
+from lam_slide_tpu.train.state import TrainState
+
+
+def make_train_step(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    ema_decay: Optional[float] = 0.999,
+    mesh: Optional[Mesh] = None,
+    donate_state: bool = True,
+):
+    """Build a jitted ``(state, batch, rng) -> (state, metrics)`` step.
+
+    rng handling: the caller passes one base key; it is folded with the step
+    counter so every step (and every resume from a checkpoint) draws a
+    deterministic, distinct stream — the reference leans on torch global RNG
+    (SURVEY.md §7 hard part 6).
+    """
+
+    def step(state: TrainState, batch, rng) -> tuple:
+        rng = jax.random.fold_in(rng, state.step)
+
+        def _loss(params):
+            return loss_fn(params, state.constants, batch, rng, True)
+
+        (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = (
+            ema_update(state.ema_params, params, ema_decay)
+            if state.ema_params is not None
+            else None
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    kwargs = {}
+    if donate_state:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, data, repl)
+        kwargs["out_shardings"] = (repl, repl)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(loss_fn: Callable, mesh: Optional[Mesh] = None, use_ema: bool = True):
+    """Build a jitted ``(state, batch, rng) -> metrics`` step on EMA weights.
+
+    Mirrors the reference's EMA swap-in for validation
+    (lightning_base.py:87-96) without the swap: we just evaluate
+    ``state.ema_params``.
+    """
+
+    def step(state: TrainState, batch, rng):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        loss, metrics = loss_fn(params, state.constants, batch, rng, False)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    kwargs = {}
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, data, repl)
+        kwargs["out_shardings"] = repl
+    return jax.jit(step, **kwargs)

@@ -1,0 +1,105 @@
+"""Data layer tests: collate static shapes, MD17 pipeline, loader."""
+
+import numpy as np
+import pytest
+
+from lam_slide_tpu.data import Loader, pad_collate, pad_collate_temporal
+from lam_slide_tpu.data.augment import random_rotation_matrix, uniform_rotation_matrix
+from lam_slide_tpu.data.md17 import MD17Dataset, load_md17_split
+
+
+def test_pad_collate_static_shapes():
+    samples = [
+        {"pos": np.ones((5, 3)), "atom": np.ones(5, np.int64), "entities": np.arange(5),
+         "cond_molecule": np.int64(0)},
+        {"pos": np.ones((3, 3)), "atom": np.ones(3, np.int64), "entities": np.arange(3),
+         "cond_molecule": np.int64(1)},
+    ]
+    batch = pad_collate(samples, num_entities=8)
+    assert batch["pos"].shape == (2, 8, 3)
+    assert batch["atom"].shape == (2, 8)
+    assert batch["attention_mask"].shape == (2, 8)
+    assert batch["attention_mask"].sum() == 5 + 3
+    assert batch["cond_molecule"].shape == (2,)
+    # padding rows are zero
+    assert np.all(batch["pos"][1, 3:] == 0)
+
+
+def test_pad_collate_temporal():
+    t = 4
+    samples = [
+        {"pos": np.ones((t, 5, 3)), "atom": np.ones((t, 5), np.int64),
+         "entities": np.tile(np.arange(5), (t, 1)), "cond_molecule": np.int64(0)},
+        {"pos": np.ones((t, 2, 3)), "atom": np.ones((t, 2), np.int64),
+         "entities": np.tile(np.arange(2), (t, 1)), "cond_molecule": np.int64(0)},
+    ]
+    batch = pad_collate_temporal(samples, num_entities=6)
+    assert batch["pos"].shape == (2, t, 6, 3)
+    assert batch["attention_mask"].shape == (2, t, 6)
+    assert batch["attention_mask"][1].sum() == 2 * t
+
+
+def test_rotation_matrices_orthonormal():
+    rng = np.random.default_rng(0)
+    for fn in (random_rotation_matrix, uniform_rotation_matrix):
+        r = fn(rng)
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_md17_split_windows():
+    x, z, num, interval = load_md17_split(None, "ethanol", "train", span=30)
+    assert x.ndim == 3 and x.shape[1] == z.shape[0]
+    assert (num - 1) * interval + 30 <= x.shape[0]
+    x_val, _, num_val, _ = load_md17_split(None, "ethanol", "val", span=30)
+    assert x_val.shape[0] < x.shape[0]
+
+
+def test_md17_first_stage_sample():
+    ds = MD17Dataset(molecule="benzene", mode="train", span=10, num_entities=20)
+    rng = np.random.default_rng(0)
+    s = ds.sample(0, rng)
+    assert s["pos"].shape == (ds.n_atoms, 3)
+    assert s["atom"].shape == (ds.n_atoms,)
+    assert len(np.unique(s["entities"])) == ds.n_atoms  # distinct entity IDs
+    assert s["entities"].max() < 20
+
+
+def test_md17_second_stage_sample_and_loader():
+    ds = MD17Dataset(molecule="benzene", mode="val", span=10, first_stage=False,
+                     num_entities=20, rand_rotation=False)
+    rng = np.random.default_rng(0)
+    s = ds.sample(3, rng)
+    assert s["pos"].shape == (10, ds.n_atoms, 3)
+    assert s["entities"].shape == (10, ds.n_atoms)
+    # same entity id across all frames — the "linked entities" invariant
+    assert np.all(s["entities"] == s["entities"][0][None])
+
+    loader = Loader(ds, batch_size=4,
+                    collate_fn=lambda batch: pad_collate_temporal(batch, 20), seed=1)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["pos"].shape == (4, 10, 20, 3)
+    assert b["attention_mask"].shape == (4, 10, 20)
+
+
+def test_loader_deterministic_per_seed():
+    ds = MD17Dataset(molecule="benzene", mode="train", span=10, num_entities=20)
+    mk = lambda: Loader(ds, batch_size=8, collate_fn=lambda b: pad_collate(b, 20), seed=7)
+    b1 = next(iter(mk()))
+    b2 = next(iter(mk()))
+    np.testing.assert_array_equal(b1["pos"], b2["pos"])
+
+
+def test_loader_propagates_worker_errors():
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def sample(self, idx, rng):
+            raise RuntimeError("boom")
+
+    loader = Loader(Bad(), batch_size=2, collate_fn=lambda b: b)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)

@@ -1,0 +1,128 @@
+"""Training infrastructure tests on the virtual 8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import linen as nn
+
+from lam_slide_tpu.parallel import make_mesh, shard_batch
+from lam_slide_tpu.train import create_train_state, make_eval_step, make_train_step
+from lam_slide_tpu.train.checkpoint import CheckpointManager, register_run, resolve_run
+
+
+class TinyMLP(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(32)(x)
+        x = nn.relu(x)
+        return nn.Dense(1)(x)
+
+
+def _setup(mesh=None):
+    model = TinyMLP()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (64, 8))
+    w_true = jax.random.normal(jax.random.PRNGKey(1), (8, 1))
+    y = x @ w_true
+    variables = model.init(key, x)
+
+    def loss_fn(params, constants, batch, rng, train):
+        pred = model.apply({"params": params}, batch["x"])
+        loss = jnp.mean((pred - batch["y"]) ** 2)
+        return loss, {"mse": loss}
+
+    tx = optax.adamw(1e-2)
+    state = create_train_state(variables, tx)
+    step = make_train_step(loss_fn, tx, ema_decay=0.99, mesh=mesh)
+    batch = {"x": x, "y": y}
+    return model, state, step, batch, loss_fn
+
+
+def test_loss_decreases():
+    _, state, step, batch, _ = _setup()
+    rng = jax.random.PRNGKey(42)
+    first = None
+    for _ in range(60):
+        state, metrics = step(state, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first * 0.1
+    assert int(state.step) == 60
+
+
+def test_ema_lags_params():
+    _, state, step, batch, _ = _setup()
+    rng = jax.random.PRNGKey(0)
+    init_params = jax.tree.map(jnp.copy, state.params)  # step() donates state buffers
+    for _ in range(5):
+        state, _ = step(state, batch, rng)
+    # EMA should sit between the init params and the current params
+    d_ema_init = optax.global_norm(jax.tree.map(lambda a, b: a - b, state.ema_params, init_params))
+    d_par_init = optax.global_norm(jax.tree.map(lambda a, b: a - b, state.params, init_params))
+    assert 0 < float(d_ema_init) < float(d_par_init)
+
+
+def test_data_parallel_matches_single_device():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    _, state_s, step_s, batch, _ = _setup(mesh=None)
+    _, state_m, step_m, _, _ = _setup(mesh=mesh)
+    rng = jax.random.PRNGKey(7)
+    sharded = shard_batch(batch, mesh)
+    for _ in range(5):
+        state_s, m_s = step_s(state_s, batch, rng)
+        state_m, m_m = step_m(state_m, sharded, rng)
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_m["loss"]), rtol=1e-4)
+    leaves_s = jax.tree.leaves(state_s.params)
+    leaves_m = jax.tree.leaves(state_m.params)
+    for a, b in zip(leaves_s, leaves_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_eval_step_uses_ema():
+    _, state, step, batch, loss_fn = _setup()
+    rng = jax.random.PRNGKey(0)
+    for _ in range(10):
+        state, _ = step(state, batch, rng)
+    eval_ema = make_eval_step(loss_fn, use_ema=True)
+    eval_raw = make_eval_step(loss_fn, use_ema=False)
+    m_ema = eval_ema(state, batch, rng)
+    m_raw = eval_raw(state, batch, rng)
+    # after only 10 steps with decay .99 the EMA is far behind → higher loss
+    assert float(m_ema["loss"]) != float(m_raw["loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    _, state, step, batch, _ = _setup()
+    rng = jax.random.PRNGKey(0)
+    for _ in range(3):
+        state, metrics = step(state, batch, rng)
+    mgr = CheckpointManager(str(tmp_path / "run1"), monitor="loss")
+    mgr.save(state, {k: float(v) for k, v in metrics.items()})
+    assert mgr.has("last") and mgr.has("best")
+
+    # worse metric → best not replaced
+    state2, metrics2 = step(state, batch, rng)
+    mgr.save(state2, {"loss": float(metrics2["loss"]) + 100.0})
+    restored_best = mgr.restore(jax.tree.map(jnp.zeros_like, state), "best")
+    assert int(restored_best.step) == 3
+    restored_last = mgr.restore(jax.tree.map(jnp.zeros_like, state2), "last")
+    assert int(restored_last.step) == 4
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored_last.params)[0]),
+        np.asarray(jax.tree.leaves(state2.params)[0]),
+    )
+
+
+def test_run_registry(tmp_path):
+    ws = str(tmp_path / "ws")
+    register_run(ws, "abc123", str(tmp_path / "run1"), {"lr": 1e-3})
+    info = resolve_run(ws, "abc123")
+    assert info["config"]["lr"] == 1e-3
+    with pytest.raises(KeyError):
+        resolve_run(ws, "missing")
