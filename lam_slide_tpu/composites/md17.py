@@ -126,6 +126,74 @@ def build_md17_first_stage(cfg: MD17FirstStageConfig, dtype=jnp.float32) -> Firs
     )
 
 
+@dataclass(frozen=True)
+class MD17SecondStageConfig:
+    """Mirrors configs/model/md17/second-stage.yaml keys."""
+
+    depth: int = 4
+    in_dim: int = 32
+    hidden_size: int = 256
+    num_heads: int = 16
+    mlp_ratio: float = 2.0
+    cond_idx: tuple = (0, 10)
+    mask_cond_mean: bool = True
+    num_timesteps: int = 30
+    K: int = 5
+    path_type: str = "GVP"
+    prediction: str = "data"
+    sampling_method: str = "ODE"
+    sampling_kwargs: tuple = (("sampling_method", "euler"), ("num_steps", 10))
+    weight_si_loss: float = 1.0
+    weight_pos_loss: float = 0.25
+    weight_inter_dist_loss: float = 0.25
+    calc_additional_losses: bool = True
+    # class conditioning (CondWrapper, second_stage/md17.py:182-191)
+    class_conditional: bool = False
+    n_classes: int = 8
+    vec_in_dim: int = 256
+    reference_init: bool = False  # md17 config sets reset_parameters: False
+
+
+def build_md17_second_stage(
+    cfg: MD17SecondStageConfig,
+    first_stage: FirstStageBackbone,
+    first_stage_variables,
+    dtype=jnp.float32,
+):
+    """Assemble the SecondStage bundle (reference Wrapper/CondWrapper)."""
+    from lam_slide_tpu.composites.second_stage import ClassCondDiT, SecondStage
+    from lam_slide_tpu.models import LatentDiT
+    from lam_slide_tpu.transport import create_transport
+
+    dit = LatentDiT(
+        depth=cfg.depth,
+        in_dim=cfg.in_dim,
+        hidden_size=cfg.hidden_size,
+        num_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        n_timesteps=cfg.num_timesteps,
+        vec_in_dim=cfg.vec_in_dim if cfg.class_conditional else None,
+        reference_init=cfg.reference_init,
+        dtype=dtype,
+    )
+    backbone = (
+        ClassCondDiT(dit=dit, n_classes=cfg.n_classes, vec_in_dim=cfg.vec_in_dim)
+        if cfg.class_conditional
+        else dit
+    )
+    transport = create_transport(path_type=cfg.path_type, prediction=cfg.prediction)
+    return SecondStage(
+        backbone=backbone,
+        transport=transport,
+        first_stage=first_stage,
+        first_stage_variables=first_stage_variables,
+        cond_idx=cfg.cond_idx,
+        mask_cond_mean=cfg.mask_cond_mean,
+        num_timesteps=cfg.num_timesteps,
+        class_conditional=cfg.class_conditional,
+    )
+
+
 def make_md17_first_stage_loss(model: FirstStageBackbone, cfg: MD17FirstStageConfig):
     """loss_fn(params, constants, batch, rng, train) for make_train_step.
 

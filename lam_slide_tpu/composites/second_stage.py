@@ -1,0 +1,228 @@
+"""Second stage: latent stochastic-interpolant diffusion over trajectories.
+
+Parity target: ``SecondStageCondLightningBase``
+(src/models/composites/lightning_base.py:167-263) + the per-domain wrappers
+(second_stage/{md17,pedestrian,nba,peptide}.py). Frames are encoded with the
+*frozen* stage-1 encoder into ``[B, T, L, D]`` latents; a LatentDiT is
+trained with the SiT interpolant loss to generate the non-conditioning
+frames, conditioned inpainting-style on frames ``[cond_idx0, cond_idx1)``
+via a conditioning tensor + binary mask (``setup_conditioning``).
+
+TPU-first notes
+---------------
+* The frozen stage-1 variables ride in ``TrainState.constants`` — no
+  gradients or optimizer state ever touch them, which is the functional
+  equivalent of ``freeze()`` + ``eval()`` (second_stage/md17.py:46-51), yet
+  aux losses still backpropagate *through* the frozen decoder into the DiT.
+* Encode flattens ``B T -> (B T)`` exactly like the reference so the
+  per-frame encoder runs as one big batched matmul pipeline.
+* Sampling is one jitted program: the ODE/SDE integrators are lax.scan
+  loops over the DiT drift (transport/integrators.py), and the K-repeat
+  evaluation protocol batches K as a vmapped axis instead of a Python loop.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+from flax import linen as nn
+from jax import numpy as jnp
+
+from lam_slide_tpu.composites.first_stage import FirstStageBackbone
+from lam_slide_tpu.models.latent_dit import LatentDiT
+from lam_slide_tpu.transport import Sampler, Transport
+
+
+class ClassCondDiT(nn.Module):
+    """LatentDiT + class-embedding conditioning vector (CondWrapper semantics,
+    second_stage/md17.py:182-191: class id -> nn.Embedding -> y)."""
+
+    dit: LatentDiT
+    n_classes: int
+    vec_in_dim: int
+
+    @nn.compact
+    def __call__(self, x, t, x_cond, x_cond_mask, y_class=None):
+        y = None
+        if y_class is not None:
+            y = nn.Embed(
+                self.n_classes,
+                self.vec_in_dim,
+                embedding_init=nn.initializers.normal(stddev=1.0),
+                name="vec_in_embedding",
+            )(y_class.astype(jnp.int32).reshape(x.shape[0]))
+        return self.dit(x, t, x_cond, x_cond_mask, y)
+
+
+def setup_conditioning(
+    latents: jnp.ndarray, cond_idx: Tuple[int, int], mask_cond_mean: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Conditioning tensor + mask (lightning_base.py:240-263).
+
+    Frames in [cond_idx0, cond_idx1) are visible; the rest are filled with
+    the mean of the visible latents (mask_cond_mean) or zero.
+    """
+    b, t, l, _ = latents.shape
+    frame_idx = jnp.arange(t)
+    frame_mask = (frame_idx >= cond_idx[0]) & (frame_idx < cond_idx[1])
+    x_cond_mask = jnp.broadcast_to(frame_mask[None, :, None], (b, t, l)).astype(jnp.int32)
+    if mask_cond_mean:
+        fill = jnp.mean(latents[:, cond_idx[0] : cond_idx[1]], axis=1, keepdims=True)
+    else:
+        fill = jnp.zeros_like(latents[:, :1])
+    x_cond = jnp.where(x_cond_mask[..., None].astype(bool), latents, fill)
+    return x_cond, x_cond_mask
+
+
+@dataclass
+class SecondStage:
+    """Functional bundle: frozen stage 1 + DiT backbone + transport.
+
+    ``backbone`` is either a LatentDiT or a ClassCondDiT; when
+    ``class_conditional`` the batch must carry ``cond_<key>`` class indices
+    under ``cond_key``.
+    """
+
+    backbone: nn.Module
+    transport: Transport
+    first_stage: FirstStageBackbone
+    first_stage_variables: Any  # frozen; store in TrainState.constants
+    cond_idx: Tuple[int, int] = (0, 10)
+    mask_cond_mean: bool = True
+    num_timesteps: int = 30
+    class_conditional: bool = False
+    cond_key: str = "cond_molecule"
+    frame_keys: Tuple[str, ...] = ("pos", "atom", "attention_mask", "entities")
+
+    # -- stage-1 passthroughs (frozen) ------------------------------------
+
+    def encode(self, fs_variables, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Per-frame encode, B T flattened (second_stage/md17.py:115-125)."""
+        b = batch["entities"].shape[0]
+        flat = {
+            k: batch[k].reshape(-1, *batch[k].shape[2:])
+            for k in self.frame_keys
+            if k in batch
+        }
+        z = self.first_stage.apply(
+            fs_variables, flat, method=self.first_stage.encode
+        )
+        z = jax.lax.stop_gradient(z)
+        return z.reshape(b, -1, *z.shape[1:])
+
+    def decode(self, fs_variables, latents: jnp.ndarray, entities: jnp.ndarray):
+        """latents [(B T), L, D] + entities [(B T), N] -> decoded heads."""
+        return self.first_stage.apply(
+            fs_variables, latents, entities, method=self.first_stage.decode
+        )
+
+    # -- batch preparation -------------------------------------------------
+
+    def prepare_batch(self, fs_variables, batch: Dict[str, jnp.ndarray]):
+        """encode + conditioning → (x1, model_kwargs) (lightning_base.py:205-215)."""
+        latents = self.encode(fs_variables, batch)
+        x_cond, x_cond_mask = setup_conditioning(latents, self.cond_idx, self.mask_cond_mean)
+        model_kwargs = {"x_cond": x_cond, "x_cond_mask": x_cond_mask}
+        if self.class_conditional:
+            model_kwargs["y_class"] = batch[self.cond_key]
+        return latents, model_kwargs
+
+    def model_fn(self, params) -> Callable:
+        def fn(x, t, **kwargs):
+            return self.backbone.apply({"params": params}, x, t, **kwargs)
+
+        return fn
+
+    # -- training loss -----------------------------------------------------
+
+    def make_loss(
+        self,
+        weight_si_loss: float = 1.0,
+        weight_pos_loss: float = 0.0,
+        weight_inter_dist_loss: float = 0.0,
+        calc_additional_losses: bool = False,
+        scale: float = 1.0,
+    ):
+        """loss_fn(params, constants, batch, rng, train) for make_train_step.
+
+        constants = {"first_stage": fs_variables}. Aux losses decode the
+        DATA-prediction latents through the frozen stage-1 decoder
+        (second_stage/md17.py:220-257).
+        """
+        from lam_slide_tpu.nn.losses import inter_distance, masked_mse, masked_norm
+
+        def loss_fn(params, constants, batch, rng, train):
+            fs_variables = constants["first_stage"]
+            x1, model_kwargs = self.prepare_batch(fs_variables, batch)
+            terms = self.transport.training_losses(
+                rng, self.model_fn(params), x1, model_kwargs
+            )
+            si_loss = jnp.mean(terms["loss"])
+            total = weight_si_loss * si_loss
+            metrics = {"si_loss": si_loss}
+
+            if calc_additional_losses:
+                pred_latent = terms["pred"]
+                bt = pred_latent.shape[0] * pred_latent.shape[1]
+                flat_latent = pred_latent.reshape(bt, *pred_latent.shape[2:])
+                flat_entities = batch["entities"].reshape(bt, -1)
+                pred = self.decode(fs_variables, flat_latent, flat_entities)
+                pos_pred = pred["pos"].astype(jnp.float32)
+                pos_true = batch["pos"].reshape(bt, *batch["pos"].shape[2:])
+                mask = batch["attention_mask"].reshape(bt, -1)
+                pos_loss = masked_mse(pos_pred, pos_true, mask)
+                inter_loss = inter_distance(pos_pred, pos_true, mask)
+                dist = masked_norm(pos_pred, pos_true, mask)
+                total = total + weight_pos_loss * pos_loss + weight_inter_dist_loss * inter_loss
+                metrics.update(
+                    {"pos_loss": pos_loss, "inter_dist_loss": inter_loss, "dist": dist * scale}
+                )
+            return total, metrics
+
+        return loss_fn
+
+    # -- sampling ----------------------------------------------------------
+
+    def make_sample_fn(
+        self,
+        sampling_method: str = "ODE",
+        sampling_kwargs: Optional[Dict[str, Any]] = None,
+    ):
+        """Build sample(params, fs_variables, batch, rng) -> decoded dict.
+
+        Mirrors SecondStageCondLightningBase.sample (lightning_base.py:217-238):
+        noise init, integrate, decode all T frames. Output heads keep the
+        flattened (B T) leading axis reshaped back to [B, T, ...].
+        """
+        sampler_fn = Sampler(self.transport).get_sample_fn(sampling_method, sampling_kwargs)
+
+        def sample(params, fs_variables, batch, rng):
+            b = batch["entities"].shape[0]
+            x1, model_kwargs = self.prepare_batch(fs_variables, batch)
+            k_noise, k_solve = jax.random.split(rng)
+            noise = jax.random.normal(k_noise, x1.shape, dtype=x1.dtype)
+            latents = sampler_fn(k_solve, noise, self.model_fn(params), **model_kwargs)
+            bt = latents.shape[0] * latents.shape[1]
+            flat_latents = latents.reshape(bt, *latents.shape[2:])
+            flat_entities = batch["entities"].reshape(bt, -1)
+            preds = self.decode(fs_variables, flat_latents, flat_entities)
+            return {
+                k: v.reshape(b, -1, *v.shape[1:]) for k, v in preds.items()
+            }
+
+        return sample
+
+    def make_k_sample_fn(self, k: int, **kwargs):
+        """K-repeat sampling as a vmapped axis (replaces the reference's
+        Python ``for _ in range(K)`` loops, e.g. second_stage/md17.py:160).
+
+        Returns sample_k(params, fs_variables, batch, rng) -> dict of
+        [K, B, T, ...] arrays.
+        """
+        sample = self.make_sample_fn(**kwargs)
+
+        def sample_k(params, fs_variables, batch, rng):
+            keys = jax.random.split(rng, k)
+            return jax.vmap(lambda key: sample(params, fs_variables, batch, key))(keys)
+
+        return sample_k

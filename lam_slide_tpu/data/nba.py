@@ -1,0 +1,150 @@
+"""NBA SportVU multi-agent trajectories.
+
+Numpy port of src/datasets/nba.py: per-game ``.npz`` files (pos [F, 11, 2],
+team [F, 11] in {0=ball, 1, 2}, group [F, 11], agent_id [F, 11]) from the
+SocialVAE split, sliding windows of ``num_frames`` via cumulative sizes +
+bisect (nba.py:129-143), team-flip + 2D rotation/translation augmentation
+(nba.py:97-107). Stage 1 draws a random frame from a random game; stage 2
+returns windows. Synthetic fallback: ball + 2×5 players with attracted
+motion around a moving play focus.
+"""
+
+import os
+from bisect import bisect_right
+from dataclasses import dataclass
+from itertools import accumulate
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from lam_slide_tpu.data.augment import random_rotation_matrix_2d, rotate
+from lam_slide_tpu.data.loader import Dataset
+
+SCENE_COND_INDICES = {"score": 0, "rebound": 1}
+
+
+def _synthetic_game(scene: str, idx: int, n_frames: int = 64):
+    rng = np.random.default_rng(abs(hash((scene, idx))) % (2**32))
+    n_agents = 11
+    team = np.zeros((n_frames, n_agents), dtype=np.int64)
+    team[:, 1:6] = 1
+    team[:, 6:] = 2
+    group = (team > 1).astype(np.int64)
+    agent_id = np.broadcast_to(np.arange(n_agents), (n_frames, n_agents)).copy()
+
+    focus = np.cumsum(rng.standard_normal((n_frames, 2)) * 0.8, axis=0) + [47.0, 25.0]
+    offsets = rng.standard_normal((n_agents, 2)) * 8.0
+    pos = focus[:, None] + offsets[None]
+    pos += np.cumsum(rng.standard_normal((n_frames, n_agents, 2)) * 0.3, axis=0)
+    return {
+        "pos": pos.astype(np.float32),
+        "team": team,
+        "group": group,
+        "agent_id": agent_id,
+    }
+
+
+def load_nba_games(
+    root: Optional[str],
+    scene: str,
+    num_frames: int,
+    shift,
+    scale,
+    max_files: Optional[int] = None,
+    synthetic_games: int = 8,
+) -> List[Dict[str, np.ndarray]]:
+    games = []
+    if root is not None and os.path.isdir(root):
+        files = sorted(os.listdir(root))
+        if max_files:
+            files = files[:max_files]
+        for name in files:
+            data = dict(np.load(os.path.join(root, name)))
+            if data["pos"].shape[0] < num_frames:
+                continue  # nba.py:84-86
+            games.append(
+                {
+                    "pos": ((data["pos"] - shift) / scale).astype(np.float32),
+                    "team": data["team"].astype(np.int64),
+                    "group": data["group"].astype(np.int64),
+                    "agent_id": data["agent_id"].astype(np.int64),
+                }
+            )
+    if not games:
+        for i in range(synthetic_games):
+            g = _synthetic_game(scene, i)
+            g["pos"] = ((g["pos"] - shift) / scale).astype(np.float32)
+            games.append(g)
+    return games
+
+
+@dataclass
+class NBADataset(Dataset):
+    scene: str
+    root: Optional[str] = None
+    first_stage: bool = True
+    num_frames: int = 20
+    flip: bool = False
+    rand_rotation: bool = False
+    rand_translation: float = 0.0
+    shift: float = 0.0
+    scale: float = 1.0
+    num_entities: int = 11
+    max_files: Optional[int] = None
+    synthetic_games: int = 8
+
+    def __post_init__(self):
+        self.games = load_nba_games(
+            self.root, self.scene, self.num_frames, np.asarray(self.shift),
+            np.asarray(self.scale), self.max_files, self.synthetic_games,
+        )
+        valid = [0] + [g["pos"].shape[0] - self.num_frames + 1 for g in self.games]
+        self.cumulative_sizes = list(accumulate(valid))
+        self.cond_index = np.int64(SCENE_COND_INDICES[self.scene])
+
+    def __len__(self) -> int:
+        if self.first_stage:
+            return len(self.games)
+        return self.cumulative_sizes[-1]
+
+    def _augment(self, pos, team, rng: np.random.Generator):
+        if self.flip and rng.random() < 0.5:
+            team = team.copy()
+            m1, m2 = team == 1, team == 2  # nba.py:99-102 team swap
+            team[m1] = 2
+            team[m2] = 1
+        if self.rand_rotation:
+            pos = rotate(pos, random_rotation_matrix_2d(rng))
+        if self.rand_translation:
+            pos = pos + (rng.standard_normal(2) * self.rand_translation).astype(np.float32)
+        return pos.astype(np.float32), team
+
+    def sample(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        if self.first_stage:
+            game = self.games[int(rng.integers(len(self.games)))]
+            f = int(rng.integers(game["pos"].shape[0]))
+            pos, team = self._augment(game["pos"][f], game["team"][f], rng)
+            n = pos.shape[0]
+            entities = rng.permutation(self.num_entities)[:n].astype(np.int64)
+            return {
+                "pos": pos,
+                "team": team,
+                "group": game["group"][f],
+                "agent_id": game["agent_id"][f],
+                "entities": entities,
+            }
+        g = bisect_right(self.cumulative_sizes, idx)
+        game = self.games[g - 1]
+        start = idx - self.cumulative_sizes[g - 1]
+        sl = slice(start, start + self.num_frames)
+        pos, team = self._augment(game["pos"][sl], game["team"][sl], rng)
+        n = pos.shape[1]
+        entities = rng.permutation(self.num_entities)[:n].astype(np.int64)
+        return {
+            "pos": pos,
+            "team": team,
+            "group": game["group"][sl],
+            "agent_id": game["agent_id"][sl],
+            "entities": np.broadcast_to(entities, (self.num_frames, n)).copy(),
+            "cond_scene": self.cond_index,
+        }

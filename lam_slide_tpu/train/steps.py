@@ -38,40 +38,46 @@ def make_train_step(
     (SURVEY.md §7 hard part 6).
     """
 
-    def step(state: TrainState, batch, rng) -> tuple:
-        rng = jax.random.fold_in(rng, state.step)
+    def _inner(params, ema_params, opt_state, step_ct, constants, batch, rng):
+        rng = jax.random.fold_in(rng, step_ct)
 
-        def _loss(params):
-            return loss_fn(params, state.constants, batch, rng, True)
+        def _loss(p):
+            return loss_fn(p, constants, batch, rng, True)
 
-        (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = (
-            ema_update(state.ema_params, params, ema_decay)
-            if state.ema_params is not None
-            else None
-        )
+        (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_params is not None:
+            ema_params = ema_update(ema_params, params, ema_decay)
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=params,
-            ema_params=ema_params,
-            opt_state=opt_state,
-        )
-        return new_state, metrics
+        return params, ema_params, opt_state, step_ct + 1, metrics
 
     kwargs = {}
     if donate_state:
-        kwargs["donate_argnums"] = (0,)
+        # Donate only the mutated slots; constants (frozen stage-1 weights)
+        # pass through untouched and must stay alive for eval/sampling code
+        # holding references outside the step.
+        kwargs["donate_argnums"] = (0, 1, 2, 3)
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        kwargs["in_shardings"] = (repl, data, repl)
-        kwargs["out_shardings"] = (repl, repl)
-    return jax.jit(step, **kwargs)
+        kwargs["in_shardings"] = (repl, repl, repl, repl, repl, data, repl)
+        kwargs["out_shardings"] = repl
+    jitted = jax.jit(_inner, **kwargs)
+
+    def step(state: TrainState, batch, rng):
+        params, ema_params, opt_state, step_ct, metrics = jitted(
+            state.params, state.ema_params, state.opt_state, state.step,
+            state.constants, batch, rng,
+        )
+        new_state = state.replace(
+            step=step_ct, params=params, ema_params=ema_params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    return step
 
 
 def make_eval_step(loss_fn: Callable, mesh: Optional[Mesh] = None, use_ema: bool = True):
