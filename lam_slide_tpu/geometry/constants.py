@@ -101,9 +101,14 @@ def _build_rigid_group_constants():
     """
     group_idx = np.zeros((N_RESTYPES, 14), dtype=np.int64)
     group_pos = np.zeros((N_RESTYPES, 14, 3), dtype=np.float32)
-    default_frame = np.tile(np.eye(4, dtype=np.float32), (N_RESTYPES, 8, 1, 1))
+    # zeros, not identity: undefined chi groups and the UNK row stay all-zero
+    # (matching the reference init at residue_constants.py:1108) — their
+    # frames are masked out downstream by RESTYPE_ATOM14_MASK.
+    default_frame = np.zeros((N_RESTYPES, 8, 4, 4), dtype=np.float32)
 
     for ri, r in enumerate(RESTYPES):
+        default_frame[ri, 0] = np.eye(4)  # backbone
+        default_frame[ri, 1] = np.eye(4)  # pre-omega
         resname = RESTYPE_1TO3[r]
         entries = RIGID_GROUP_ATOM_POSITIONS[resname]
         pos_by_name = {n: np.asarray(p, dtype=np.float64) for n, g, *p in entries}

@@ -191,8 +191,9 @@ def frames_to_atom14(frames8: Rigid, aatype: jnp.ndarray) -> jnp.ndarray:
     group_idx = jnp.asarray(pc.RESTYPE_ATOM14_TO_RIGID_GROUP)[aatype]  # [..., N, 14]
     group_mask = jax.nn.one_hot(group_idx, 8, dtype=frames8.rots.dtype)  # [..., N, 14, 8]
     # select each atom's frame: weighted sum over the 8 group slots
-    rots = jnp.einsum("...gij,...ag->...aij", frames8.rots, group_mask)
-    trans = jnp.einsum("...gi,...ag->...ai", frames8.trans, group_mask)
+    hp = jax.lax.Precision.HIGHEST
+    rots = jnp.einsum("...gij,...ag->...aij", frames8.rots, group_mask, precision=hp)
+    trans = jnp.einsum("...gi,...ag->...ai", frames8.trans, group_mask, precision=hp)
     atom_frames = Rigid(rots, trans)
     lit = jnp.asarray(pc.RESTYPE_ATOM14_RIGID_GROUP_POSITIONS)[aatype]  # [..., N, 14, 3]
     mask = jnp.asarray(pc.RESTYPE_ATOM14_MASK)[aatype][..., None]

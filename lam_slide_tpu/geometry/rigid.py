@@ -72,25 +72,24 @@ class Rigid:
 
     def compose(self, other: "Rigid") -> "Rigid":
         """self ∘ other: apply ``other`` first in local frame, then self."""
-        rots = self.rots @ other.rots
+        rots = jnp.einsum("...ij,...jk->...ik", self.rots, other.rots, precision=jax.lax.Precision.HIGHEST)
         trans = self.apply(other.trans)
         return Rigid(rots, trans)
 
     def apply(self, points: jnp.ndarray) -> jnp.ndarray:
         """Rotate+translate points [..., 3]."""
-        return (
-            jnp.einsum("...ij,...j->...i", self.rots, points) + self.trans
-        )
+        return jnp.einsum("...ij,...j->...i", self.rots, points,
+                          precision=jax.lax.Precision.HIGHEST) + self.trans
 
     def invert(self) -> "Rigid":
         inv_rots = jnp.swapaxes(self.rots, -1, -2)
-        inv_trans = -jnp.einsum("...ij,...j->...i", inv_rots, self.trans)
+        inv_trans = -jnp.einsum("...ij,...j->...i", inv_rots, self.trans,
+                                precision=jax.lax.Precision.HIGHEST)
         return Rigid(inv_rots, inv_trans)
 
     def invert_apply(self, points: jnp.ndarray) -> jnp.ndarray:
-        return jnp.einsum(
-            "...ji,...j->...i", self.rots, points - self.trans
-        )
+        return jnp.einsum("...ji,...j->...i", self.rots, points - self.trans,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def scale_translation(self, factor) -> "Rigid":
         return Rigid(self.rots, self.trans * factor)
