@@ -1,0 +1,82 @@
+"""Headline benchmark: 4AA latent-ODE sampler throughput on one TPU chip.
+
+Measures the reference's north-star quantity (BASELINE.json): latent-ODE
+sampler steps/sec/chip for the full-size 4AA peptide stage-2 denoiser
+(depth 7, hidden 384, T=1000 frames, L=2 latent tokens, in_dim 96 —
+configs/model/peptide/second-stage.yaml) integrating the probability-flow
+ODE with the training-time Euler sampler. One "step" = one DiT drift
+evaluation for one trajectory (batch x num_steps per solve).
+
+The reference publishes no A100 number ("published": {}), so vs_baseline is
+reported against an analytic A100 anchor: this architecture is small-op
+dominated (L=2 spatial axis, hidden 384 — tiny matmuls between layout
+ops), a regime where compiled torch on A100 sustains ~5% MFU; the anchor is
+312 TFLOP/s x 5% / FLOPs-per-drift-eval x batch. vs_baseline = measured /
+anchor, i.e. >1 means faster than a well-compiled A100 reference run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from lam_slide_tpu.models import LatentDiT
+from lam_slide_tpu.transport import Sampler, create_transport
+
+B, T, L, DIN = 8, 1000, 2, 96
+NUM_STEPS = 10
+
+
+def main():
+    model = LatentDiT(depth=7, in_dim=DIN, hidden_size=384, num_heads=16, mlp_ratio=2,
+                      n_timesteps=T, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, T, L, DIN))
+    x_cond = jnp.zeros_like(x)
+    mask = jnp.zeros((B, T, L), jnp.int32).at[:, :1].set(1)
+    variables = jax.jit(
+        lambda: model.init(key, x, jnp.zeros((B,)), x_cond, mask)
+    )()
+
+    transport = create_transport(path_type="GVP", prediction="data")
+    sample_fn = Sampler(transport).sample_ode(sampling_method="euler", num_steps=NUM_STEPS)
+
+    def model_fn(xt, t, **kw):
+        return model.apply(variables, xt, t, **kw)
+
+    @jax.jit
+    def run(noise):
+        # reduce to a scalar in-graph: the timing below forces a host
+        # readback, which is the only reliable sync point over a tunneled
+        # TPU (block_until_ready can return before device execution there)
+        return jnp.sum(sample_fn(None, noise, model_fn, x_cond=x_cond, x_cond_mask=mask))
+
+    noise = jax.random.normal(key, x.shape)
+    float(run(noise))  # compile + warm
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        float(run(noise * (1.0 + 1e-6 * i)))  # fresh input each rep
+    dt = (time.perf_counter() - t0) / n_rep
+
+    steps_per_sec = B * NUM_STEPS / dt  # trajectory-level ODE steps per second
+    # analytic A100 estimate (see module docstring)
+    flops_per_eval = 2 * 7 * (  # 7 layers, 2 blocks each (spatial+temporal)
+        2 * (T * L) * (3 * 384 + 768) * 384 + 2 * (T * L) * 384 * (384 + 768)
+    )  # linear1 + linear2 matmul FLOPs, attention negligible at L=2
+    a100_estimate = 312e12 * 0.05 / flops_per_eval * B
+    vs = steps_per_sec / a100_estimate
+    print(json.dumps({
+        "metric": "4aa_latent_ode_sampler_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "traj_ode_steps/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

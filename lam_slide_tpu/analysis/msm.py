@@ -1,0 +1,185 @@
+"""Markov state model estimation + PCCA+ metastable coarse-graining.
+
+Numpy reimplementation of the pyemma pipeline the reference drives
+(src/modules/analysis.py:42-56): k-means discretization (k=100, fixed seed
+137), transition-matrix estimation at a lag, PCCA+ into 10 metastable
+states, coarse MSM over metastable assignments, and the metastable
+occupation probabilities whose JSD is the headline 4AA MSM metric.
+
+Estimation detail: pyemma's ``estimate_markov_model`` performs reversible
+MLE; we use the standard symmetrized-count approximation
+C ← (C + Cᵀ)/2 — identical stationary behavior for the well-sampled
+reference trajectories this metric is computed on. PCCA+ follows
+Deuflhard–Weber (2005) inner-simplex optimization-free variant.
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def kmeans_discretize(
+    x: np.ndarray, k: int = 100, max_iter: int = 100, seed: int = 137
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lloyd k-means with k-means++ init → (centers [k, D], assignments [T])."""
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    # k-means++ seeding
+    centers = np.empty((k, x.shape[1]))
+    centers[0] = x[rng.integers(n)]
+    d2 = np.sum((x - centers[0]) ** 2, axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum()
+        centers[i] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.sum((x - centers[i]) ** 2, axis=1))
+    for _ in range(max_iter):
+        d = ((x[:, None] - centers[None]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        new_centers = centers.copy()
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                new_centers[c] = x[sel].mean(0)
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    d = ((x[:, None] - centers[None]) ** 2).sum(-1)
+    return centers, d.argmin(1)
+
+
+def assign(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    d = ((x[:, None] - centers[None]) ** 2).sum(-1)
+    return d.argmin(1)
+
+
+def count_matrix(dtraj: np.ndarray, n_states: int, lag: int) -> np.ndarray:
+    c = np.zeros((n_states, n_states))
+    np.add.at(c, (dtraj[:-lag], dtraj[lag:]), 1.0)
+    return c
+
+
+def transition_matrix(
+    dtraj: np.ndarray, n_states: int, lag: int, reversible: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (T over the largest connected active set, active_set indices)."""
+    c = count_matrix(dtraj, n_states, lag)
+    if reversible:
+        c = (c + c.T) / 2.0
+    # largest connected set under the symmetrized counts
+    active = _largest_connected_set(c > 0)
+    c = c[np.ix_(active, active)]
+    rows = c.sum(1)
+    t = c / np.maximum(rows[:, None], 1e-12)
+    return t, active
+
+
+def _largest_connected_set(adj: np.ndarray) -> np.ndarray:
+    n = len(adj)
+    seen = np.zeros(n, bool)
+    best: list = []
+    for s in range(n):
+        if seen[s]:
+            continue
+        comp = []
+        stack = [s]
+        seen[s] = True
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in np.nonzero(adj[u] | adj[:, u])[0]:
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(v)
+        if len(comp) > len(best):
+            best = comp
+    return np.sort(np.asarray(best))
+
+
+def stationary_distribution(t: np.ndarray) -> np.ndarray:
+    vals, vecs = np.linalg.eig(t.T)
+    idx = np.argmin(np.abs(vals - 1.0))
+    pi = np.real(vecs[:, idx])
+    pi = np.abs(pi)
+    return pi / pi.sum()
+
+
+def pcca_plus(t: np.ndarray, n_metastable: int) -> np.ndarray:
+    """PCCA+ memberships [n_states, n_metastable] (Deuflhard–Weber).
+
+    Uses the inner-simplex vertex selection on the dominant eigenvectors
+    followed by the linear-transformation feasibility construction.
+    """
+    n = len(t)
+    m = min(n_metastable, n)
+    pi = stationary_distribution(t)
+    # symmetrized (reversible) eigenproblem in the pi-weighted inner product
+    d_half = np.diag(np.sqrt(pi))
+    d_half_inv = np.diag(1.0 / np.maximum(np.sqrt(pi), 1e-12))
+    ts = d_half @ t @ d_half_inv
+    vals, vecs = np.linalg.eigh((ts + ts.T) / 2)
+    order = np.argsort(-vals)[:m]
+    chi_basis = d_half_inv @ vecs[:, order]  # right eigenvectors, first ≈ constant
+    # normalize sign/scale of the first (stationary) eigenvector
+    chi_basis = chi_basis / chi_basis[np.argmax(np.abs(chi_basis[:, 0])), 0]
+
+    # inner simplex: pick m states spanning the eigenvector simplex
+    verts = [int(np.argmax(np.linalg.norm(chi_basis - chi_basis.mean(0), axis=1)))]
+    for _ in range(1, m):
+        sub = chi_basis - chi_basis[verts[0]]
+        q, _ = np.linalg.qr(sub[verts[1:]].T) if len(verts) > 1 else (np.zeros((m, 0)), None)
+        resid = sub - sub @ q @ q.T
+        dists = np.linalg.norm(resid, axis=1)
+        dists[verts] = -1
+        verts.append(int(np.argmax(dists)))
+
+    a = np.linalg.pinv(chi_basis[verts])
+    chi = chi_basis @ a
+    # clamp to a valid membership matrix
+    chi = np.clip(chi, 0.0, None)
+    chi = chi / np.maximum(chi.sum(1, keepdims=True), 1e-12)
+    return chi
+
+
+@dataclass
+class MSM:
+    centers: np.ndarray            # k-means centers in TICA space
+    transition: np.ndarray         # [n_active, n_active]
+    active_set: np.ndarray
+    memberships: np.ndarray        # [n_states_total, n_meta] (zero rows off-active)
+    metastable_assignments: np.ndarray  # [n_states_total]
+    pi: np.ndarray
+
+    def discretize(self, x: np.ndarray) -> np.ndarray:
+        """TICA coords → metastable state ids (analysis.py discretize)."""
+        return self.metastable_assignments[assign(x, self.centers)]
+
+
+def estimate_msm(
+    tica_coords: np.ndarray,
+    n_clusters: int = 100,
+    n_metastable: int = 10,
+    lag: int = 1000,
+    seed: int = 137,
+) -> MSM:
+    """Full pipeline: kmeans → T → PCCA+ (analysis.py get_kmeans/get_msm)."""
+    centers, dtraj = kmeans_discretize(tica_coords, k=n_clusters, seed=seed)
+    t, active = transition_matrix(dtraj, n_clusters, lag)
+    chi = pcca_plus(t, n_metastable)
+    memberships = np.zeros((n_clusters, chi.shape[1]))
+    memberships[active] = chi
+    meta_assign = np.zeros(n_clusters, dtype=np.int64)
+    meta_assign[active] = chi.argmax(1)
+    return MSM(
+        centers=centers,
+        transition=t,
+        active_set=active,
+        memberships=memberships,
+        metastable_assignments=meta_assign,
+        pi=stationary_distribution(t),
+    )
+
+
+def metastable_probs(meta_dtraj: np.ndarray, n_metastable: int = 10) -> np.ndarray:
+    """Occupation frequencies (eval_peptide.py:252-254)."""
+    return (meta_dtraj == np.arange(n_metastable)[:, None]).mean(1)

@@ -97,6 +97,11 @@ def load_md17_split(
     x = x[int(n * lo) : int(n * hi)]
 
     max_windows = x.shape[0] - span + 1
+    if max_windows < 1:
+        raise ValueError(
+            f"{molecule}/{mode}: {x.shape[0]} frames cannot fit a span-{span} window "
+            f"(need more raw frames or a smaller span)"
+        )
     num = 5000 if mode == "train" else 1000
     if force_length is not None:
         num = min(force_length, num)

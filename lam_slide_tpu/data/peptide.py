@@ -1,0 +1,271 @@
+"""Tetrapeptide (4AA / mdgen) all-atom MD trajectories.
+
+Numpy/JAX port of src/datasets/peptide.py without the mdtraj dependency:
+``<AA>-traj-arrays.npz`` coordinate arrays + ``<AA>-traj-state0.pdb``
+topology are read with a minimal PDB ATOM-record parser; frames are
+superposed onto frame 0 with a Kabsch fit and centered (mdtraj
+``superpose`` + ``center_coordinates`` equivalents); coordinates map into
+the atom14 representation via the residue tables (traj_utils.py:134-143).
+Per trajectory we precompute atom14 positions/masks, frame-local
+coordinates, torsion sin/cos and aatype (peptide.py:56-101). Stage 1
+samples a random frame; stage 2 a random ``n_timesteps`` window; both get
+whole-window SE(3) augmentation (per-frame centering + one shared rotation
+and translation — data_utils.centre_random_augmentation semantics).
+
+Synthetic fallback: random 4-residue sequences animated by smoothly varying
+torsions through the FK pipeline — chemically plausible enough for smoke
+training and tests without the 4AA download.
+"""
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lam_slide_tpu.data.augment import random_rotation_matrix, uniform_rotation_matrix
+from lam_slide_tpu.data.loader import Dataset
+from lam_slide_tpu.geometry import constants as pc
+from lam_slide_tpu.geometry import ops as geo
+from lam_slide_tpu.geometry.rigid import Rigid
+
+
+# ---------------------------------------------------------------------------
+# Minimal topology / trajectory IO (mdtraj replacements)
+# ---------------------------------------------------------------------------
+
+
+def parse_pdb_topology(path: str) -> List[Tuple[str, List[str]]]:
+    """Read ATOM records → per-residue (resname, [atom names]), H stripped."""
+    residues: List[Tuple[str, List[str]]] = []
+    last_key = None
+    with open(path) as f:
+        for line in f:
+            if not line.startswith(("ATOM", "HETATM")):
+                continue
+            name = line[12:16].strip()
+            resname = line[17:20].strip()
+            chain = line[21]
+            resseq = line[22:26].strip()
+            if name.startswith("H") or (name[:1].isdigit() and "H" in name):
+                continue
+            key = (chain, resseq)
+            if key != last_key:
+                residues.append((resname, []))
+                last_key = key
+            residues[-1][1].append(name)
+    return residues
+
+
+def kabsch_rotation(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Optimal rotation R minimizing ||R p - q|| (rows are points, centered)."""
+    h = p.T @ q
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    m = np.diag([1.0, 1.0, d])
+    return vt.T @ m @ u.T
+
+
+def superpose_center(xyz: np.ndarray) -> np.ndarray:
+    """Align every frame onto frame 0 (Kabsch) and center each frame."""
+    out = xyz - xyz.mean(axis=1, keepdims=True)
+    ref = out[0]
+    for t in range(1, out.shape[0]):
+        r = kabsch_rotation(out[t], ref)
+        out[t] = out[t] @ r.T
+    return out
+
+
+def traj_to_atom14(xyz: np.ndarray, residues: List[Tuple[str, List[str]]]):
+    """[T, n_atoms, 3] + topology -> atom14 [T, R, 14, 3] (traj_utils.py:134-143)."""
+    n_res = len(residues)
+    arr = np.zeros((xyz.shape[0], n_res, 14, 3), dtype=np.float32)
+    atom_i = 0
+    for ri, (resname, names) in enumerate(residues):
+        a14_names = pc.ATOM14_NAMES[resname].split() if resname in pc.ATOM14_NAMES else []
+        for name in names:
+            if name in a14_names:
+                arr[:, ri, a14_names.index(name)] = xyz[:, atom_i]
+            atom_i += 1
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Synthetic trajectories (FK-animated)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_trajectory(name: str, n_res: int = 4, n_frames: int = 400):
+    rng = np.random.default_rng(abs(hash(name)) % (2**32))
+    aatype = rng.integers(0, 20, size=n_res)
+    # slowly varying torsion angles
+    base = rng.uniform(-np.pi, np.pi, size=(1, n_res, 7))
+    drift = np.cumsum(rng.standard_normal((n_frames, n_res, 7)) * 0.05, axis=0)
+    angles = base + drift
+    torsions = np.stack([np.sin(angles), np.cos(angles)], axis=-1).astype(np.float32)
+    # backbone frames marching along x with gentle wobble
+    trans = np.zeros((n_frames, n_res, 3), dtype=np.float32)
+    trans[..., 0] = np.arange(n_res)[None] * pc_ca_dist()
+    trans += 0.2 * np.sin(np.arange(n_frames)[:, None, None] * 0.05 + np.arange(n_res)[None, :, None])
+    rots = np.broadcast_to(np.eye(3, dtype=np.float32), (n_frames, n_res, 3, 3)).copy()
+    bb = Rigid(rots, trans)
+    import jax
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        atom14 = np.asarray(
+            geo.frames_torsions_to_atom14(
+                bb, torsions, np.broadcast_to(aatype, (n_frames, n_res))
+            )
+        )
+    return atom14.astype(np.float32), aatype
+
+
+def pc_ca_dist() -> float:
+    from lam_slide_tpu.geometry.tables import CA_CA_DISTANCE
+
+    return float(CA_CA_DISTANCE)
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+def _load_xyz_npz(path: str) -> np.ndarray:
+    data = np.load(path)
+    for key in ("positions", "xyz", "coords", "R"):
+        if key in data:
+            return np.asarray(data[key], dtype=np.float32)
+    return np.asarray(data[list(data.keys())[0]], dtype=np.float32)
+
+
+@dataclass
+class PeptideDataset(Dataset):
+    data_dir: Optional[str] = None
+    first_stage: bool = True
+    rand_rotation: bool = False
+    rand_translation: float = 0.0
+    num_entities: int = 8
+    n_timesteps: int = 100
+    scale: float = 1.0
+    shift: float = 0.0
+    max_files: Optional[int] = None
+    synthetic_peptides: int = 4
+    synthetic_frames: int = 400
+
+    def __post_init__(self):
+        self.trajectories = []
+        names = []
+        if self.data_dir is not None and os.path.isdir(self.data_dir):
+            names = sorted(
+                {f.split("-")[0] for f in os.listdir(self.data_dir) if f.endswith(".npz")}
+            )
+            if self.max_files:
+                names = names[: self.max_files]
+        if names:
+            for aa in names:
+                xyz = _load_xyz_npz(os.path.join(self.data_dir, f"{aa}-traj-arrays.npz"))
+                residues = parse_pdb_topology(
+                    os.path.join(self.data_dir, f"{aa}-traj-state0.pdb")
+                )
+                xyz = superpose_center(xyz)
+                atom14 = traj_to_atom14(xyz, residues)
+                aatype = np.asarray(
+                    [pc.RESNAME_TO_IDX.get(r, 20) for r, _ in residues], dtype=np.int64
+                )
+                self.trajectories.append(self._precompute(aa, atom14, aatype))
+        else:
+            for i in range(self.synthetic_peptides):
+                atom14, aatype = _synthetic_trajectory(f"synth{i}", n_frames=self.synthetic_frames)
+                self.trajectories.append(self._precompute(f"synth{i}", atom14, aatype))
+        if not self.trajectories:
+            raise ValueError("no peptide trajectories found")
+
+    def _precompute(self, name: str, atom14: np.ndarray, aatype: np.ndarray):
+        """Per-trajectory derived tensors (reference peptide.py:56-101).
+
+        Pinned to the host CPU backend: this runs op-by-op at dataset build
+        time, and dispatching hundreds of tiny ops to a (possibly tunneled)
+        TPU would take minutes for zero benefit.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return self._precompute_impl(name, atom14, aatype)
+
+    def _precompute_impl(self, name: str, atom14: np.ndarray, aatype: np.ndarray):
+        import jax.numpy as jnp
+
+        atom14 = (atom14 - self.shift) / self.scale
+        t, r = atom14.shape[:2]
+        aatype_t = np.broadcast_to(aatype, (t, r))
+        atom14_mask = pc.RESTYPE_ATOM14_MASK[aatype_t].astype(bool)
+        frames = geo.atom14_to_frames(jnp.asarray(atom14))
+        frames = Rigid(frames.rots[..., None, :, :], frames.trans[..., None, :])
+        atom14_pos_frame = np.asarray(frames.invert_apply(jnp.asarray(atom14)))
+        atom37 = np.asarray(geo.atom14_to_atom37(jnp.asarray(atom14), jnp.asarray(aatype_t)))
+        torsions, torsions_mask = geo.atom37_to_torsions(
+            jnp.asarray(atom37), jnp.asarray(aatype_t)
+        )
+        torsions = np.nan_to_num(np.asarray(torsions)) * np.asarray(torsions_mask)[..., None]
+        if atom14.shape[0] <= self.n_timesteps + 1 and not self.first_stage:
+            raise ValueError(f"trajectory {name} shorter than n_timesteps")
+        return {
+            "name": name,
+            "atom14_pos": atom14.astype(np.float32),
+            "atom14_mask": atom14_mask,
+            "atom14_pos_frame": atom14_pos_frame.astype(np.float32),
+            "torsions": torsions.astype(np.float32),
+            "torsions_mask": np.asarray(torsions_mask, dtype=np.float32),
+            "aatype": aatype_t.astype(np.int64),
+            "n_frames": atom14.shape[0],
+        }
+
+    def __len__(self) -> int:
+        return len(self.trajectories)
+
+    def _augment(self, pos_flat: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """centre_random_augmentation: center (per frame), rotate, translate."""
+        rot = random_rotation_matrix(rng) if self.rand_rotation else np.eye(3, dtype=np.float32)
+        shift = (rng.standard_normal(3) * self.rand_translation).astype(np.float32)
+        center = pos_flat.mean(axis=-2, keepdims=True)
+        return (pos_flat - center) @ rot.T + shift
+
+    def sample(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        traj = self.trajectories[idx]
+        n_res = traj["aatype"].shape[1]
+        entities = rng.permutation(self.num_entities)[:n_res].astype(np.int64)
+
+        if self.first_stage:
+            f = int(rng.integers(traj["n_frames"]))
+            pos = traj["atom14_pos"][f]  # [R, 14, 3]
+            r = pos.shape[0]
+            pos = self._augment(pos.reshape(r * 14, 3), rng).reshape(r, 14, 3)
+            pos = pos * traj["atom14_mask"][f][..., None]
+            return {
+                "atom14_pos": pos.astype(np.float32),
+                "atom14_mask": traj["atom14_mask"][f],
+                "atom14_pos_frame": traj["atom14_pos_frame"][f],
+                "aatype": traj["aatype"][f],
+                "torsions": traj["torsions"][f],
+                "torsions_mask": traj["torsions_mask"][f],
+                "entities": entities,
+            }
+
+        start = int(rng.integers(traj["n_frames"] - self.n_timesteps))
+        sl = slice(start, start + self.n_timesteps)
+        pos = traj["atom14_pos"][sl]  # [T, R, 14, 3]
+        t, r = pos.shape[:2]
+        pos = self._augment(pos.reshape(t, r * 14, 3), rng).reshape(t, r, 14, 3)
+        pos = pos * traj["atom14_mask"][sl][..., None]
+        return {
+            "atom14_pos": pos.astype(np.float32),
+            "atom14_mask": traj["atom14_mask"][sl],
+            "atom14_pos_frame": traj["atom14_pos_frame"][sl],
+            "aatype": traj["aatype"][sl],
+            "torsions": traj["torsions"][sl],
+            "torsions_mask": traj["torsions_mask"][sl],
+            "entities": np.broadcast_to(entities, (t, n_res)).copy(),
+        }

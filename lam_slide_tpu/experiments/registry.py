@@ -1,0 +1,555 @@
+"""Experiment registry — the Hydra-experiment-tree replacement.
+
+Each builder assembles the full run (model, loss, loaders, trainer config)
+for one reference experiment (configs/experiment/<domain>/<stage>.yaml),
+with the same hyperparameters, in plain Python. ``smoke=True`` shrinks
+everything to a CPU-runnable few-step run (the reference's
+configs/debug/default.yaml semantics: tiny data, few batches).
+
+Cross-stage lineage: stage-2 builders resolve the frozen stage-1 weights
+through the local run registry (run_id → run_dir → checkpoint; replaces the
+wandb run-ID lookup, src/utils/utils.py:180-199) and load the *EMA* params,
+matching ``load_ema_weights`` + ``freeze()`` (second_stage/md17.py:46-51).
+"""
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from jax import numpy as jnp
+
+from lam_slide_tpu.data import Loader, pad_collate, pad_collate_temporal
+from lam_slide_tpu.train.checkpoint import resolve_run
+from lam_slide_tpu.train.trainer import TrainerConfig
+
+MD17_SCALES = {
+    "aspirin": 1.721, "benzene": 1.169, "ethanol": 0.893, "malonaldehyde": 0.989,
+    "naphthalene": 1.515, "salicylic": 1.429, "toluene": 1.339, "uracil": 1.173,
+    "all": 1.376,
+}
+
+
+@dataclass
+class ExperimentRun:
+    name: str
+    trainer_cfg: TrainerConfig
+    variables: dict
+    loss_fn: Callable
+    train_loader: Loader
+    val_loaders: Dict[str, Loader]
+    model: Any
+    meta: Dict[str, Any] = field(default_factory=dict)
+    sample_batch: Any = None
+
+
+def _concat_loaders_batch(loader):
+    return jax.tree.map(jnp.asarray, next(iter(loader)))
+
+
+def load_checkpoint_raw(run_dir: str, which: str = "best") -> dict:
+    """Read an Orbax checkpoint without a target skeleton → nested dict."""
+    path = os.path.join(run_dir, "checkpoints", which)
+    if not os.path.exists(path):
+        path = os.path.join(run_dir, "checkpoints", "last")
+    return ocp.StandardCheckpointer().restore(path)
+
+
+def load_first_stage_variables(workspace: str, run_id: str, which: str = "best") -> dict:
+    """run_id → frozen stage-1 variables {params: EMA, constants} + config."""
+    info = resolve_run(workspace, run_id)
+    raw = load_checkpoint_raw(info["run_dir"], which)
+    params = raw.get("ema_params") or raw["params"]
+    variables = {"params": params}
+    if raw.get("constants") is not None:
+        variables["constants"] = raw["constants"]
+    return variables, info.get("config", {})
+
+
+# ---------------------------------------------------------------------------
+# MD17
+# ---------------------------------------------------------------------------
+
+
+def _md17_datasets(smoke, data_root, first_stage, molecules, num_entities, span, scales):
+    from lam_slide_tpu.data.md17 import MD17Dataset
+
+    kw = dict(
+        root=data_root, span=span, first_stage=first_stage, num_entities=num_entities,
+        synthetic_frames=3000 if smoke else 4000,
+    )
+    train_sets = [
+        MD17Dataset(molecule=m, mode="train", scale=scales[m], rand_rotation=True,
+                    force_length=48 if smoke else None, **kw)
+        for m in molecules
+    ]
+    val_sets = {
+        m: MD17Dataset(molecule=m, mode="val", scale=scales[m], rand_rotation=False,
+                       force_length=16 if smoke else 256, **kw)
+        for m in molecules
+    }
+    return train_sets, val_sets
+
+
+class _ConcatDataset:
+    def __init__(self, datasets):
+        self.datasets = datasets
+        self.offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def sample(self, idx, rng):
+        d = int(np.searchsorted(self.offsets, idx, side="right")) - 1
+        return self.datasets[d].sample(idx - int(self.offsets[d]), rng)
+
+
+def md17_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
+                     molecule="all", **_):
+    from lam_slide_tpu.composites.md17 import (
+        MD17FirstStageConfig, build_md17_first_stage, make_md17_first_stage_loss,
+    )
+
+    molecules = list(MD17_SCALES)[:-1] if molecule == "all" else [molecule]
+    if smoke:
+        molecules = molecules[:2]
+    scale = MD17_SCALES[molecule]
+    cfg = MD17FirstStageConfig(num_entities=32, scale=scale) if not smoke else (
+        MD17FirstStageConfig(num_entities=32, dim_input=32, dim_latent=8, dim_entity=32,
+                             num_latents=8, dim_head_cross=8, dim_head_latent=8,
+                             num_head_cross=2, scale=scale)
+    )
+    model = build_md17_first_stage(cfg)
+    train_sets, val_sets = _md17_datasets(
+        smoke, data_root, True, molecules, cfg.num_entities, 30, MD17_SCALES
+    )
+    bs = 16 if smoke else 256
+    collate = lambda b: pad_collate(b, cfg.num_entities)
+    train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
+    val_loaders = {
+        m: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
+        for m, ds in val_sets.items()
+    }
+    batch = _concat_loaders_batch(train_loader)
+    variables = model.init(jax.random.PRNGKey(seed), batch)
+    trainer_cfg = TrainerConfig(
+        max_epochs=2 if smoke else 3000, lr=4e-4, monitor="pos_loss",
+        val_every_n_epochs=1 if smoke else 25, seed=seed,
+    )
+    return ExperimentRun(
+        name="md17_first_stage", trainer_cfg=trainer_cfg, variables=variables,
+        loss_fn=make_md17_first_stage_loss(model, cfg), train_loader=train_loader,
+        val_loaders=val_loaders, model=model, sample_batch=batch,
+        meta={"config": cfg.__dict__, "stage": 1, "domain": "md17"},
+    )
+
+
+def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
+                      molecule="all", first_stage_run=None, **_):
+    from lam_slide_tpu.composites.md17 import (
+        MD17FirstStageConfig, MD17SecondStageConfig, build_md17_first_stage,
+        build_md17_second_stage,
+    )
+
+    molecules = list(MD17_SCALES)[:-1] if molecule == "all" else [molecule]
+    if smoke:
+        molecules = molecules[:2]
+    scale = MD17_SCALES[molecule]
+
+    # frozen stage 1: from the registry, or freshly initialized in smoke mode
+    if first_stage_run is not None:
+        fs_vars, fs_cfg_dict = load_first_stage_variables(workspace, first_stage_run)
+        fs_cfg = MD17FirstStageConfig(**{
+            k: v for k, v in fs_cfg_dict.get("config", fs_cfg_dict).items()
+            if k in MD17FirstStageConfig.__dataclass_fields__
+        })
+    elif smoke:
+        fs_cfg = MD17FirstStageConfig(num_entities=32, dim_input=32, dim_latent=8,
+                                      dim_entity=32, num_latents=8, dim_head_cross=8,
+                                      dim_head_latent=8, num_head_cross=2, scale=scale)
+        fs_vars = None
+    else:
+        raise ValueError("md17_second_stage requires first_stage_run (see run registry)")
+
+    fs_model = build_md17_first_stage(fs_cfg)
+    train_sets, val_sets = _md17_datasets(
+        smoke, data_root, False, molecules, fs_cfg.num_entities, 30, MD17_SCALES
+    )
+    bs = 4 if smoke else 64
+    collate = lambda b: pad_collate_temporal(b, fs_cfg.num_entities)
+    train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
+    val_loaders = {
+        m: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
+        for m, ds in val_sets.items()
+    }
+    batch = _concat_loaders_batch(train_loader)
+    if fs_vars is None:
+        frame0 = {k: v[:, 0] for k, v in batch.items() if not k.startswith("cond")}
+        fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
+
+    cfg2 = (
+        MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True)
+        if not smoke
+        else MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
+                                   num_heads=4, class_conditional=True, vec_in_dim=32)
+    )
+    ss = build_md17_second_stage(cfg2, fs_model, fs_vars)
+    x1, mk = ss.prepare_batch(fs_vars, batch)
+    params = ss.backbone.init(
+        jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
+        mk["x_cond"], mk["x_cond_mask"], mk.get("y_class"),
+    )["params"]
+    variables = {"params": params, "constants": {"first_stage": fs_vars}}
+    loss_fn = ss.make_loss(
+        weight_si_loss=cfg2.weight_si_loss, weight_pos_loss=cfg2.weight_pos_loss,
+        weight_inter_dist_loss=cfg2.weight_inter_dist_loss,
+        calc_additional_losses=cfg2.calc_additional_losses, scale=scale,
+    )
+    trainer_cfg = TrainerConfig(
+        max_epochs=2 if smoke else 1000, lr=1e-3, monitor="si_loss",
+        val_every_n_epochs=1 if smoke else 10, seed=seed,
+    )
+    return ExperimentRun(
+        name="md17_second_stage", trainer_cfg=trainer_cfg, variables=variables,
+        loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders,
+        model=ss, sample_batch=batch,
+        meta={"config": cfg2.__dict__, "stage": 2, "domain": "md17",
+              "first_stage_run": first_stage_run},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pedestrian
+# ---------------------------------------------------------------------------
+
+PED_SCENES = ["zara1", "zara2", "univ", "hotel", "eth"]
+
+
+def pedestrian_first_stage(smoke=False, data_root=None, workspace="runs", seed=0, **_):
+    from lam_slide_tpu.composites.pedestrian import (
+        PedestrianFirstStageConfig, build_pedestrian_first_stage,
+        make_pedestrian_first_stage_loss,
+    )
+    from lam_slide_tpu.data.pedestrian import PedestrianDataset
+
+    scenes = PED_SCENES[:2] if smoke else PED_SCENES
+    cfg = PedestrianFirstStageConfig() if not smoke else PedestrianFirstStageConfig(
+        dim_input=32, dim_latent=8, dim_entity=32, dim_head_cross=8, dim_head_latent=8,
+        num_head_cross=2)
+    model = build_pedestrian_first_stage(cfg)
+    kw = dict(root=data_root, num_entities=cfg.num_entities,
+              synthetic_scenes=24 if smoke else 64)
+    train_sets = [PedestrianDataset(scene=s, phase="train", rand_rotation=True, **kw)
+                  for s in scenes]
+    # reference uses the test split for val (pedestrian.py:198-204)
+    val_sets = {s: PedestrianDataset(scene=s, phase="test", **kw) for s in scenes}
+    bs = 16 if smoke else 512
+    collate = lambda b: pad_collate(b, cfg.num_entities)
+    train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
+    val_loaders = {s: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
+                   for s, ds in val_sets.items()}
+    batch = _concat_loaders_batch(train_loader)
+    variables = model.init(jax.random.PRNGKey(seed), batch)
+    trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 2000, lr=1e-3,
+                                monitor="pos_loss", val_every_n_epochs=1 if smoke else 25,
+                                seed=seed)
+    return ExperimentRun(
+        name="pedestrian_first_stage", trainer_cfg=trainer_cfg, variables=variables,
+        loss_fn=make_pedestrian_first_stage_loss(model, cfg), train_loader=train_loader,
+        val_loaders=val_loaders, model=model, sample_batch=batch,
+        meta={"config": cfg.__dict__, "stage": 1, "domain": "pedestrian"},
+    )
+
+
+def pedestrian_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
+                            first_stage_run=None, **_):
+    from lam_slide_tpu.composites.pedestrian import (
+        PedestrianFirstStageConfig, PedestrianSecondStageConfig,
+        build_pedestrian_first_stage, build_pedestrian_second_stage,
+    )
+    from lam_slide_tpu.data.pedestrian import PedestrianDataset
+
+    scenes = PED_SCENES[:2] if smoke else PED_SCENES
+    if first_stage_run is not None:
+        fs_vars, fs_cfg_dict = load_first_stage_variables(workspace, first_stage_run)
+        fs_cfg = PedestrianFirstStageConfig(**{
+            k: v for k, v in fs_cfg_dict.get("config", fs_cfg_dict).items()
+            if k in PedestrianFirstStageConfig.__dataclass_fields__})
+    elif smoke:
+        fs_cfg = PedestrianFirstStageConfig(dim_input=32, dim_latent=8, dim_entity=32,
+                                            dim_head_cross=8, dim_head_latent=8,
+                                            num_head_cross=2)
+        fs_vars = None
+    else:
+        raise ValueError("pedestrian_second_stage requires first_stage_run")
+    fs_model = build_pedestrian_first_stage(fs_cfg)
+
+    kw = dict(root=data_root, num_entities=fs_cfg.num_entities, first_stage=False,
+              synthetic_scenes=12 if smoke else 64)
+    train_sets = [PedestrianDataset(scene=s, phase="train", rand_rotation=True,
+                                    flip_vertical=True, flip_horizontal=True, **kw)
+                  for s in scenes]
+    val_sets = {s: PedestrianDataset(scene=s, phase="test", **kw) for s in scenes}
+    bs = 4 if smoke else 256
+    collate = lambda b: pad_collate_temporal(b, fs_cfg.num_entities)
+    train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
+    val_loaders = {s: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
+                   for s, ds in val_sets.items()}
+    batch = _concat_loaders_batch(train_loader)
+    if fs_vars is None:
+        frame0 = {k: v[:, 0] for k, v in batch.items() if not k.startswith("cond")}
+        fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
+
+    cfg2 = (PedestrianSecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True)
+            if not smoke else
+            PedestrianSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1, hidden_size=16,
+                                        num_heads=2, class_conditional=True, vec_in_dim=16))
+    ss = build_pedestrian_second_stage(cfg2, fs_model, fs_vars)
+    x1, mk = ss.prepare_batch(fs_vars, batch)
+    params = ss.backbone.init(
+        jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
+        mk["x_cond"], mk["x_cond_mask"], mk.get("y_class"))["params"]
+    variables = {"params": params, "constants": {"first_stage": fs_vars}}
+    loss_fn = ss.make_loss(
+        weight_si_loss=cfg2.weight_si_loss, weight_pos_loss=cfg2.weight_pos_loss,
+        weight_inter_dist_loss=cfg2.weight_inter_dist_loss,
+        calc_additional_losses=cfg2.calc_additional_losses)
+    trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 3000, lr=1e-3,
+                                monitor="si_loss", val_every_n_epochs=1 if smoke else 25,
+                                seed=seed)
+    return ExperimentRun(
+        name="pedestrian_second_stage", trainer_cfg=trainer_cfg, variables=variables,
+        loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders, model=ss,
+        sample_batch=batch,
+        meta={"config": cfg2.__dict__, "stage": 2, "domain": "pedestrian",
+              "first_stage_run": first_stage_run},
+    )
+
+
+# ---------------------------------------------------------------------------
+# NBA
+# ---------------------------------------------------------------------------
+
+NBA_SHIFT = {"score": 47.5787, "rebound": 47.2872}
+NBA_SCALE = {"score": 24.7269, "rebound": 26.5484}
+
+
+def nba_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
+                    scene="score", **_):
+    from lam_slide_tpu.composites.nba import (
+        NBAFirstStageConfig, build_nba_first_stage, make_nba_first_stage_loss,
+    )
+    from lam_slide_tpu.data.nba import NBADataset
+
+    cfg = NBAFirstStageConfig(scale=NBA_SCALE[scene]) if not smoke else NBAFirstStageConfig(
+        dim_input=32, dim_latent=8, dim_entity=32, num_latents=4, dim_head_cross=8,
+        dim_head_latent=8, scale=NBA_SCALE[scene])
+    model = build_nba_first_stage(cfg)
+    kw = dict(root=data_root, num_entities=cfg.num_entities, shift=NBA_SHIFT[scene],
+              scale=NBA_SCALE[scene], synthetic_games=16 if smoke else 64)
+    train = NBADataset(scene=scene, flip=True, rand_rotation=True, **kw)
+    val = NBADataset(scene=scene, **kw)
+    bs = 8 if smoke else 1024
+    collate = lambda b: pad_collate(b, cfg.num_entities)
+    train_loader = Loader(train, bs, collate, seed=seed, drop_last=False)
+    val_loaders = {scene: Loader(val, bs, collate, shuffle=False, seed=seed, drop_last=False)}
+    batch = _concat_loaders_batch(train_loader)
+    variables = model.init(jax.random.PRNGKey(seed), batch)
+    trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 10_000, lr=4e-4,
+                                monitor="pos_loss", val_every_n_epochs=1 if smoke else 100,
+                                seed=seed)
+    return ExperimentRun(
+        name="nba_first_stage", trainer_cfg=trainer_cfg, variables=variables,
+        loss_fn=make_nba_first_stage_loss(model, cfg), train_loader=train_loader,
+        val_loaders=val_loaders, model=model, sample_batch=batch,
+        meta={"config": cfg.__dict__, "stage": 1, "domain": "nba", "scene": scene},
+    )
+
+
+def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
+                     scene="score", first_stage_run=None, **_):
+    from lam_slide_tpu.composites.nba import (
+        NBAFirstStageConfig, NBASecondStageConfig, build_nba_first_stage,
+        build_nba_second_stage,
+    )
+    from lam_slide_tpu.data.nba import NBADataset
+
+    if first_stage_run is not None:
+        fs_vars, fs_cfg_dict = load_first_stage_variables(workspace, first_stage_run)
+        fs_cfg = NBAFirstStageConfig(**{
+            k: v for k, v in fs_cfg_dict.get("config", fs_cfg_dict).items()
+            if k in NBAFirstStageConfig.__dataclass_fields__})
+    elif smoke:
+        fs_cfg = NBAFirstStageConfig(dim_input=32, dim_latent=8, dim_entity=32,
+                                     num_latents=4, dim_head_cross=8, dim_head_latent=8,
+                                     scale=NBA_SCALE[scene])
+        fs_vars = None
+    else:
+        raise ValueError("nba_second_stage requires first_stage_run")
+    fs_model = build_nba_first_stage(fs_cfg)
+
+    kw = dict(root=data_root, num_entities=fs_cfg.num_entities, first_stage=False,
+              shift=NBA_SHIFT[scene], scale=NBA_SCALE[scene],
+              synthetic_games=4 if smoke else 64)
+    train = NBADataset(scene=scene, flip=True, rand_rotation=True, **kw)
+    val = NBADataset(scene=scene, **kw)
+    bs = 4 if smoke else 1024
+    collate = lambda b: pad_collate_temporal(b, fs_cfg.num_entities)
+    train_loader = Loader(train, bs, collate, seed=seed)
+    val_loaders = {scene: Loader(val, bs, collate, shuffle=False, seed=seed, drop_last=False)}
+    batch = _concat_loaders_batch(train_loader)
+    if fs_vars is None:
+        frame0 = {k: v[:, 0] for k, v in batch.items() if not k.startswith("cond")}
+        fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
+
+    cfg2 = (NBASecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True)
+            if not smoke else
+            NBASecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1, hidden_size=16,
+                                 num_heads=2, class_conditional=True, vec_in_dim=16))
+    ss = build_nba_second_stage(cfg2, fs_model, fs_vars)
+    x1, mk = ss.prepare_batch(fs_vars, batch)
+    params = ss.backbone.init(
+        jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
+        mk["x_cond"], mk["x_cond_mask"], mk.get("y_class"))["params"]
+    variables = {"params": params, "constants": {"first_stage": fs_vars}}
+    loss_fn = ss.make_loss(
+        weight_si_loss=cfg2.weight_si_loss, weight_pos_loss=cfg2.weight_pos_loss,
+        weight_inter_dist_loss=cfg2.weight_inter_dist_loss,
+        calc_additional_losses=cfg2.calc_additional_losses)
+    trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 1000, lr=1e-3,
+                                monitor="si_loss", val_every_n_epochs=1 if smoke else 10,
+                                seed=seed)
+    return ExperimentRun(
+        name="nba_second_stage", trainer_cfg=trainer_cfg, variables=variables,
+        loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders, model=ss,
+        sample_batch=batch,
+        meta={"config": cfg2.__dict__, "stage": 2, "domain": "nba", "scene": scene,
+              "first_stage_run": first_stage_run},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peptide
+# ---------------------------------------------------------------------------
+
+
+def _pep_collate(samples):
+    out = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    out["attention_mask"] = np.ones(out["aatype"].shape, dtype=bool)
+    return out
+
+
+def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0, **_):
+    from lam_slide_tpu.composites.peptide import (
+        PeptideFirstStageConfig, build_peptide_first_stage, make_peptide_first_stage_loss,
+    )
+    from lam_slide_tpu.data.peptide import PeptideDataset
+
+    cfg = PeptideFirstStageConfig() if not smoke else PeptideFirstStageConfig(
+        dim_input=32, dim_latent=16, dim_entity=32, num_latents=2, num_split=4,
+        dim_head_cross=8, dim_head_latent=8)
+    model = build_peptide_first_stage(cfg)
+    kw = dict(num_entities=cfg.num_entities, n_timesteps=100,
+              synthetic_peptides=4 if smoke else 8,
+              synthetic_frames=120 if smoke else 1200)
+    train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
+                           first_stage=True, rand_rotation=True, **kw)
+    val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val",
+                         first_stage=True, **kw)
+    bs = 4 if smoke else 512
+    train_loader = Loader(train, bs, _pep_collate, seed=seed, drop_last=False)
+    val_loaders = {"val": Loader(val, bs, _pep_collate, shuffle=False, seed=seed,
+                                 drop_last=False)}
+    batch = _concat_loaders_batch(train_loader)
+    variables = model.init(jax.random.PRNGKey(seed), batch)
+    trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 50_000, lr=1e-3,
+                                monitor="pos_loss",
+                                val_every_n_epochs=1 if smoke else 500, seed=seed)
+    return ExperimentRun(
+        name="peptide_first_stage", trainer_cfg=trainer_cfg, variables=variables,
+        loss_fn=make_peptide_first_stage_loss(model, cfg), train_loader=train_loader,
+        val_loaders=val_loaders, model=model, sample_batch=batch,
+        meta={"config": cfg.__dict__, "stage": 1, "domain": "peptide"},
+    )
+
+
+def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
+                         first_stage_run=None, **_):
+    from lam_slide_tpu.composites.peptide import (
+        PeptideFirstStageConfig, PeptideSecondStageConfig, build_peptide_first_stage,
+        build_peptide_second_stage, make_peptide_second_stage_loss,
+    )
+    from lam_slide_tpu.data.peptide import PeptideDataset
+
+    n_t = 16 if smoke else 1000
+    if first_stage_run is not None:
+        fs_vars, fs_cfg_dict = load_first_stage_variables(workspace, first_stage_run)
+        fs_cfg = PeptideFirstStageConfig(**{
+            k: v for k, v in fs_cfg_dict.get("config", fs_cfg_dict).items()
+            if k in PeptideFirstStageConfig.__dataclass_fields__})
+    elif smoke:
+        fs_cfg = PeptideFirstStageConfig(dim_input=32, dim_latent=16, dim_entity=32,
+                                         num_latents=2, num_split=4, dim_head_cross=8,
+                                         dim_head_latent=8)
+        fs_vars = None
+    else:
+        raise ValueError("peptide_second_stage requires first_stage_run")
+    fs_model = build_peptide_first_stage(fs_cfg)
+
+    kw = dict(num_entities=fs_cfg.num_entities, n_timesteps=n_t, first_stage=False,
+              synthetic_peptides=2 if smoke else 8,
+              synthetic_frames=60 if smoke else 2000)
+    train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
+                           rand_rotation=True, **kw)
+    val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val", **kw)
+    bs = 2 if smoke else 16
+    train_loader = Loader(train, bs, _pep_collate, seed=seed, drop_last=False)
+    val_loaders = {"val": Loader(val, bs, _pep_collate, shuffle=False, seed=seed,
+                                 drop_last=False)}
+    batch = _concat_loaders_batch(train_loader)
+    if fs_vars is None:
+        frame0 = {k: v[:, 0] for k, v in batch.items()}
+        fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
+
+    cfg2 = (PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, num_timesteps=n_t)
+            if not smoke else
+            PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
+                                     num_heads=4, num_timesteps=n_t))
+    ss = build_peptide_second_stage(cfg2, fs_model, fs_vars)
+    x1, mk = ss.prepare_batch(fs_vars, batch)
+    params = ss.backbone.init(jax.random.PRNGKey(seed + 1), x1,
+                              jnp.zeros((x1.shape[0],)), mk["x_cond"],
+                              mk["x_cond_mask"])["params"]
+    variables = {"params": params, "constants": {"first_stage": fs_vars}}
+    loss_fn = make_peptide_second_stage_loss(ss, cfg2)
+    # grad-clip 0.5 for peptide stage 2 (configs/experiment/peptide/second-stage.yaml:37)
+    trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 1500, lr=1e-3,
+                                monitor="si_loss", grad_clip=0.5,
+                                val_every_n_epochs=1 if smoke else 10, seed=seed)
+    return ExperimentRun(
+        name="peptide_second_stage", trainer_cfg=trainer_cfg, variables=variables,
+        loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders, model=ss,
+        sample_batch=batch,
+        meta={"config": cfg2.__dict__, "stage": 2, "domain": "peptide",
+              "first_stage_run": first_stage_run},
+    )
+
+
+EXPERIMENTS = {
+    "md17_first_stage": md17_first_stage,
+    "md17_second_stage": md17_second_stage,
+    "pedestrian_first_stage": pedestrian_first_stage,
+    "pedestrian_second_stage": pedestrian_second_stage,
+    "nba_first_stage": nba_first_stage,
+    "nba_second_stage": nba_second_stage,
+    "peptide_first_stage": peptide_first_stage,
+    "peptide_second_stage": peptide_second_stage,
+}
+
+
+def build_experiment(name: str, **kwargs) -> ExperimentRun:
+    if name not in EXPERIMENTS:
+        raise KeyError(f"unknown experiment {name!r}; available: {sorted(EXPERIMENTS)}")
+    return EXPERIMENTS[name](**kwargs)

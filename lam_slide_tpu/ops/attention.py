@@ -86,10 +86,15 @@ def dot_product_attention(
 
 
 def _pick_backend(q: jnp.ndarray, mask: Optional[jnp.ndarray]) -> str:
-    # Flash pays off once the score matrix stops fitting comfortably in VMEM;
-    # for the factorized DiT axes (<=1000) XLA's fused softmax wins below ~512.
+    # Measured on v5e (tests/test_flash_attention.py drive): the Pallas
+    # kernel matches or beats the XLA path from ~128 keys up and is the only
+    # option beyond ~2k (XLA materializes the [B,H,N,N] logits and OOMs at
+    # 4k+). Below that, XLA's fused softmax wins on dispatch overhead.
+    # Rank-4 masks (full attention bias) stay on XLA — flash takes only
+    # key-padding masks.
     on_tpu = jax.default_backend() == "tpu"
     seq = max(q.shape[-2], 1)
-    if on_tpu and seq >= 512 and mask is None:
+    rank4_mask = mask is not None and mask.ndim == 4
+    if on_tpu and seq >= 128 and not rank4_mask:
         return "pallas"
     return "xla"

@@ -1,0 +1,87 @@
+"""Training CLI — the src/train.py equivalent.
+
+    python -m lam_slide_tpu.train.cli --experiment md17_first_stage --smoke
+    python -m lam_slide_tpu.train.cli --experiment md17_second_stage \
+        --first-stage-run <run_id> --workspace runs --data-root data/md17
+
+Runs under runs/<run_id>/ with metrics.jsonl + checkpoints/{best,last};
+every run is recorded in the workspace run registry so stage-2 experiments
+resolve their frozen stage 1 by --first-stage-run (replacing the
+reference's wandb lineage). ``--devices N`` debugs multi-chip sharding on N
+virtual CPU devices; on real hardware the mesh spans all visible chips.
+"""
+
+import argparse
+import os
+import secrets
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--experiment", required=True)
+    parser.add_argument("--smoke", action="store_true", help="tiny synthetic run (debug cfg)")
+    parser.add_argument("--workspace", default="runs")
+    parser.add_argument("--data-root", default=None)
+    parser.add_argument("--run-id", default=None)
+    parser.add_argument("--first-stage-run", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--epochs", type=int, default=None, help="override max_epochs")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--no-mesh", action="store_true", help="single-device (no sharding)")
+    parser.add_argument(
+        "--devices", type=int, default=None,
+        help="force N virtual CPU devices (sharding debug; sets XLA flags before jax import)",
+    )
+    parser.add_argument("--molecule", default="all", help="md17: molecule or 'all'")
+    parser.add_argument("--scene", default="score", help="nba: score|rebound")
+    args = parser.parse_args(argv)
+
+    if args.devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.devices:
+        jax.config.update("jax_platforms", "cpu")
+
+    from lam_slide_tpu.experiments import build_experiment
+    from lam_slide_tpu.parallel import make_mesh
+    from lam_slide_tpu.train.checkpoint import register_run
+    from lam_slide_tpu.train.trainer import Trainer
+
+    run_id = args.run_id or secrets.token_hex(4)
+    run_dir = os.path.join(args.workspace, run_id)
+    print(f"experiment={args.experiment} run_id={run_id} devices={jax.device_count()}")
+
+    exp = build_experiment(
+        args.experiment,
+        smoke=args.smoke,
+        data_root=args.data_root,
+        workspace=args.workspace,
+        seed=args.seed,
+        first_stage_run=args.first_stage_run,
+        molecule=args.molecule,
+        scene=args.scene,
+    )
+    if args.epochs is not None:
+        exp.trainer_cfg.max_epochs = args.epochs
+
+    mesh = None
+    if not args.no_mesh and jax.device_count() > 1:
+        mesh = make_mesh()
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    register_run(args.workspace, run_id, run_dir, exp.meta)
+    trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir, mesh=mesh)
+    state = trainer.fit(exp.variables, exp.train_loader, exp.val_loaders, resume=args.resume)
+    print(f"done: step={int(state.step)} run_dir={run_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

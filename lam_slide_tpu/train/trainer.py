@@ -1,0 +1,181 @@
+"""Training orchestration: the Lightning-Trainer replacement.
+
+One plain-Python loop drives the jitted train step: epochs → batches →
+``step(state, batch, rng)``, with per-epoch validation on EMA weights,
+best/last Orbax checkpointing keyed on a monitored metric, JSONL metric
+logging, LR scheduling via optax (warmup-cosine computed from
+steps_per_epoch up front — replacing the reference's ConfigLRScheduler
+callback, src/callbacks/config_lr_scheduler.py), optional gradient
+clipping, and resume. Multi-chip: pass a Mesh and every batch is
+device_put with batch-axis sharding before the step.
+"""
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Mapping, Optional
+
+import jax
+import numpy as np
+import optax
+
+from lam_slide_tpu.nn.schedules import linear_warmup_cosine
+from lam_slide_tpu.train.checkpoint import CheckpointManager
+from lam_slide_tpu.train.state import TrainState, create_train_state, param_count
+from lam_slide_tpu.train.steps import make_eval_step, make_train_step
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 10
+    lr: float = 1e-3
+    warmup_epochs: int = 0
+    min_lr: float = 1e-7
+    weight_decay: float = 0.01
+    ema_decay: Optional[float] = 0.999
+    grad_clip: Optional[float] = None
+    monitor: str = "loss"  # metric key within val metrics
+    monitor_mode: str = "min"
+    val_every_n_epochs: int = 1
+    log_every_steps: int = 50
+    seed: int = 0
+
+
+def make_optimizer(cfg: TrainerConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """AdamW + per-step warmup-cosine (reference AdamW +
+    LinearWarmupCosineAnnealingLR stepped per grad step)."""
+    schedule = linear_warmup_cosine(
+        cfg.lr, cfg.warmup_epochs, cfg.max_epochs, steps_per_epoch, cfg.min_lr
+    )
+    tx = optax.adamw(learning_rate=schedule, weight_decay=cfg.weight_decay)
+    if cfg.grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+class MetricLogger:
+    """JSONL + stdout metric stream (the wandb-logger stand-in)."""
+
+    def __init__(self, run_dir: str, quiet: bool = False):
+        os.makedirs(run_dir, exist_ok=True)
+        self.path = os.path.join(run_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.quiet = quiet
+
+    def log(self, record: Dict[str, Any]):
+        record = {
+            k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
+            for k, v in record.items()
+        }
+        self._f.write(json.dumps(record) + "\n")
+        self._f.flush()
+        if not self.quiet:
+            parts = [f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()]
+            print("  " + " ".join(parts), flush=True)
+
+    def close(self):
+        self._f.close()
+
+
+def _mean_metrics(acc: Dict[str, list]) -> Dict[str, float]:
+    return {k: float(np.mean(v)) for k, v in acc.items()}
+
+
+class Trainer:
+    """fit() drives train/val/checkpoint; test()/evaluate() run protocols."""
+
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        loss_fn: Callable,
+        run_dir: str,
+        mesh=None,
+        eval_fns: Optional[Mapping[str, Callable]] = None,
+        quiet: bool = False,
+    ):
+        self.cfg = cfg
+        self.loss_fn = loss_fn
+        self.run_dir = os.path.abspath(run_dir)
+        self.mesh = mesh
+        self.eval_fns = dict(eval_fns or {})
+        self.logger = MetricLogger(self.run_dir, quiet=quiet)
+        self.quiet = quiet
+
+    def init_state(self, variables: dict, steps_per_epoch: int):
+        tx = make_optimizer(self.cfg, steps_per_epoch)
+        state = create_train_state(variables, tx, ema=self.cfg.ema_decay is not None)
+        return state, tx
+
+    def fit(
+        self,
+        variables: dict,
+        train_loader,
+        val_loaders: Optional[Mapping[str, Iterable]] = None,
+        resume: bool = False,
+    ) -> TrainState:
+        """variables: {"params": ..., "constants": ...} — each experiment's
+        loss_fn defines its own constants layout (e.g. the second stage puts
+        the frozen stage-1 variables under constants["first_stage"])."""
+        cfg = self.cfg
+        steps_per_epoch = max(len(train_loader), 1)
+        state, tx = self.init_state(variables, steps_per_epoch)
+
+        ckpt = CheckpointManager(self.run_dir, monitor=cfg.monitor, mode=cfg.monitor_mode)
+        start_epoch = 0
+        if resume and ckpt.has("last"):
+            state = ckpt.restore(state, "last")
+            start_epoch = int(state.step) // steps_per_epoch
+            if not self.quiet:
+                print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+
+        train_step = make_train_step(self.loss_fn, tx, ema_decay=cfg.ema_decay, mesh=self.mesh)
+        eval_step = make_eval_step(self.loss_fn, mesh=self.mesh)
+        rng = jax.random.PRNGKey(cfg.seed)
+        n_params = param_count(state.params)
+        if not self.quiet:
+            print(f"params: {n_params:,}  steps/epoch: {steps_per_epoch}")
+
+        for epoch in range(start_epoch, cfg.max_epochs):
+            t0 = time.time()
+            acc: Dict[str, list] = {}
+            for batch in train_loader:
+                batch = self._put(batch)
+                state, metrics = train_step(state, batch, rng)
+                for k, v in metrics.items():
+                    acc.setdefault(k, []).append(float(v))
+            train_metrics = _mean_metrics(acc)
+            record = {"epoch": epoch, "split": "train", "time_s": round(time.time() - t0, 2)}
+            record.update({f"train/{k}": v for k, v in train_metrics.items()})
+            self.logger.log(record)
+
+            if val_loaders and (epoch + 1) % cfg.val_every_n_epochs == 0:
+                val_metrics = self.validate(state, val_loaders, eval_step, rng, epoch)
+                ckpt.save(state, val_metrics)
+            else:
+                ckpt.save(state)
+        return state
+
+    def validate(self, state, val_loaders, eval_step, rng, epoch) -> Dict[str, float]:
+        all_means: Dict[str, list] = {}
+        for name, loader in val_loaders.items():
+            acc: Dict[str, list] = {}
+            for batch in loader:
+                batch = self._put(batch)
+                metrics = eval_step(state, batch, rng)
+                for k, v in metrics.items():
+                    acc.setdefault(k, []).append(float(v))
+            means = _mean_metrics(acc)
+            record = {"epoch": epoch, "split": f"val/{name}"}
+            record.update({f"val/{name}/{k}": v for k, v in means.items()})
+            self.logger.log(record)
+            for k, v in means.items():
+                all_means.setdefault(k, []).append(v)
+        return _mean_metrics(all_means)
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            from lam_slide_tpu.parallel import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return batch

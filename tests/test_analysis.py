@@ -1,0 +1,191 @@
+"""Analysis stack tests: featurization, JSD, TICA, Koopman, MSM, acovf."""
+
+import numpy as np
+import pytest
+from scipy.spatial.distance import jensenshannon
+
+from lam_slide_tpu.analysis import backbone, decorrelation, features, jsd, msm, tica
+from lam_slide_tpu.data.peptide import PeptideDataset
+
+
+@pytest.fixture(scope="module")
+def traj():
+    ds = PeptideDataset(first_stage=True, synthetic_peptides=1, synthetic_frames=300,
+                        n_timesteps=20)
+    t = ds.trajectories[0]
+    return t["atom14_pos"], t["aatype"][0]
+
+
+class TestFeatures:
+    def test_torsion_features(self, traj):
+        atom14, aatype = traj
+        feat = features.TorsionFeatures(aatype, sidechains=True)
+        names = feat.describe()
+        assert f"PHI 1" in names and f"PSI 0" in names
+        x = feat(atom14)
+        assert x.shape == (atom14.shape[0], len(names))
+        assert np.isfinite(x).all()
+        assert np.all((x >= -np.pi) & (x <= np.pi))
+        xc = feat(atom14, cossin=True)
+        assert xc.shape == (atom14.shape[0], 2 * len(names))
+        np.testing.assert_allclose(xc[:, 0::2] ** 2 + xc[:, 1::2] ** 2, 1.0, atol=1e-5)
+
+    def test_tica_feature_matrix(self, traj):
+        atom14, aatype = traj
+        x = features.tica_feature_matrix(atom14, aatype)
+        r = len(aatype)
+        n_dist = r * (r - 1) // 2
+        assert x.shape == (atom14.shape[0], n_dist + 6 * (r - 1))
+        assert np.isfinite(x).all()
+
+
+class TestJSD:
+    def test_identical_zero(self):
+        x = np.random.default_rng(0).uniform(-np.pi, np.pi, 5000)
+        assert jsd.hist_jsd(x, x) == 0.0
+
+    def test_different_positive(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 0.4, 5000).clip(-3, 3)
+        b = rng.normal(1.5, 0.4, 5000).clip(-3, 3)
+        assert jsd.hist_jsd(a, b) > 0.3
+
+    def test_summary(self):
+        per = {"AAAA": {"JSD": {"PHI 1": 0.2, "PSI 0": 0.4, "CHI1 0": 0.1,
+                                "PHI 1|PSI 1": 0.9, "TICA-0": 0.3, "TICA-0,1": 0.5},
+                        "ref_metastable_probs": np.array([0.5, 0.5]),
+                        "traj_metastable_probs": np.array([0.5, 0.5])}}
+        s = jsd.summary_metrics(per)
+        assert s["BB"] == pytest.approx(0.3)
+        assert s["SC"] == pytest.approx(0.1)
+        assert s["ALL"] == pytest.approx(np.mean([0.2, 0.4, 0.1]))
+        assert s["MSMS"] == pytest.approx(0.0)
+
+
+class TestTICA:
+    def _two_state_traj(self, n=20000, seed=0, p_switch=0.005):
+        """Slow 1D two-state jump process + fast noise dims."""
+        rng = np.random.default_rng(seed)
+        state = np.cumsum(rng.random(n) < p_switch) % 2
+        slow = state * 4.0 - 2.0 + rng.normal(0, 0.3, n)
+        fast = rng.normal(0, 1.0, (n, 3))
+        return np.column_stack([slow, fast]), state
+
+    def test_tica_finds_slow_mode(self):
+        x, state = self._two_state_traj()
+        model = tica.tica(x, lag=50)
+        y = model.transform(x)
+        # first TIC must separate the two states far better than chance
+        corr = abs(np.corrcoef(y[:, 0], state)[0, 1])
+        assert corr > 0.9
+        # λ ≈ exp(-lag · 2p_switch) = exp(-0.5) ≈ 0.6, far above the noise dims
+        assert 0.4 < model.eigenvalues[0] < 0.8
+        assert model.eigenvalues[0] > 5 * abs(model.eigenvalues[1])
+
+    def test_kinetic_map_scaling(self):
+        x, _ = self._two_state_traj()
+        m1 = tica.tica(x, lag=50, kinetic_map=True)
+        m2 = tica.tica(x, lag=50, kinetic_map=False)
+        r = m1.components[:, 0] / m2.components[:, 0]
+        np.testing.assert_allclose(r, np.abs(m1.eigenvalues[0]), rtol=1e-6)
+
+    def test_koopman_weights_recover_equilibrium(self):
+        # biased sampling: start all trajectories in state A of a 2-state chain
+        rng = np.random.default_rng(1)
+        n = 30000
+        # asymmetric chain: A->B 0.02, B->A 0.01 → pi = (1/3, 2/3)
+        s = np.zeros(n, int)
+        for t in range(1, n):
+            p = 0.02 if s[t - 1] == 0 else 0.01
+            s[t] = s[t - 1] ^ (rng.random() < p)
+        x = np.column_stack([s * 2.0 - 1.0 + rng.normal(0, 0.1, n)])
+        w = tica.koopman_weights(x, lag=20)
+        assert w.shape == (n,)
+        assert abs(w.mean() - 1.0) < 1e-6
+        # weighted state-occupation should stay near the empirical equilibrium
+        occ = (w * s).sum() / w.sum()
+        assert 0.2 < occ < 0.9
+
+
+class TestMSM:
+    def test_msm_recovers_metastable_states(self):
+        rng = np.random.default_rng(2)
+        n = 30000
+        state = np.cumsum(rng.random(n) < 0.002) % 2
+        x = np.column_stack([
+            state * 3.0 + rng.normal(0, 0.3, n),
+            rng.normal(0, 0.3, n),
+        ])
+        model = msm.estimate_msm(x, n_clusters=20, n_metastable=2, lag=10, seed=137)
+        meta = model.discretize(x)
+        # metastable labels must track the true hidden state (up to swap)
+        agree = (meta == state).mean()
+        assert max(agree, 1 - agree) > 0.95
+        probs = msm.metastable_probs(meta, n_metastable=2)
+        assert probs.sum() == pytest.approx(1.0)
+
+    def test_transition_matrix_rows_normalized(self):
+        dtraj = np.random.default_rng(0).integers(0, 5, 2000)
+        t, active = msm.transition_matrix(dtraj, 5, lag=1)
+        np.testing.assert_allclose(t.sum(1), 1.0, atol=1e-9)
+        pi = msm.stationary_distribution(t)
+        np.testing.assert_allclose(pi @ t, pi, atol=1e-8)
+
+    def test_pcca_memberships_valid(self):
+        # block-structured chain
+        t = np.array([
+            [0.94, 0.05, 0.01, 0.0],
+            [0.05, 0.94, 0.0, 0.01],
+            [0.01, 0.0, 0.94, 0.05],
+            [0.0, 0.01, 0.05, 0.94],
+        ])
+        chi = msm.pcca_plus(t, 2)
+        assert chi.shape == (4, 2)
+        np.testing.assert_allclose(chi.sum(1), 1.0, atol=1e-9)
+        labels = chi.argmax(1)
+        assert labels[0] == labels[1] and labels[2] == labels[3]
+        assert labels[0] != labels[2]
+
+
+class TestDecorrelation:
+    def test_acovf_matches_numpy_definition(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, 500)
+        ac = decorrelation.acovf(x, demean=True, adjusted=False, nlag=10)
+        xm = x - x.mean()
+        for k in range(5):
+            expect = (xm[: len(x) - k] * xm[k:]).sum() / len(x)
+            assert ac[k] == pytest.approx(expect, abs=1e-10)
+
+    def test_ess_white_noise(self):
+        x = np.random.default_rng(0).normal(size=5000)
+        ess = decorrelation.effective_sample_size(x)
+        assert ess > 2000  # white noise: ESS ≈ N
+
+    def test_ess_correlated(self):
+        rng = np.random.default_rng(0)
+        x = np.zeros(5000)
+        for t in range(1, 5000):
+            x[t] = 0.95 * x[t - 1] + rng.normal()
+        assert decorrelation.effective_sample_size(x) < 1000
+
+
+class TestBackbone:
+    def test_validity_and_contacts(self):
+        rng = np.random.default_rng(0)
+        # well-spaced chain with CA-CA ≈ 0.38 nm
+        base = np.cumsum(np.tile([[0.38, 0, 0]], (6, 1)), axis=0)
+        ca = base[None] + rng.normal(0, 0.005, (50, 6, 3))
+        assert backbone.ca_validity(ca) == 1.0
+        broken = ca.copy()
+        broken[:, 3:] += 5.0  # break the chain in every frame
+        assert backbone.ca_validity(broken) == 0.0
+        assert backbone.contact_rmse(ca, ca) == 0.0
+        rg = backbone.radius_of_gyration(ca)
+        assert rg.shape == (50,) and np.all(rg > 0)
+
+    def test_ramachandran_kld_zero_for_same(self):
+        rng = np.random.default_rng(0)
+        phi = rng.uniform(-np.pi, np.pi, 4000)
+        psi = rng.uniform(-np.pi, np.pi, 4000)
+        assert abs(backbone.ramachandran_kld(phi, psi, phi, psi)) < 1e-10
