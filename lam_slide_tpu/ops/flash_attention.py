@@ -74,15 +74,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_forward(q, k, v, bias, scale, block_q=256, block_k=512):
-    """q,k,v: [B, H, N, D]; bias: [B, Nk] additive fp32. -> [B, H, N, D]."""
+def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=512):
+    """q,k,v: [B, H, N, D]; bias: [B, Nk] additive fp32. -> [B, H, N, D].
+
+    block_q defaults high: each (bh, q-block) program re-reads the full K/V
+    panel, so fewer q-blocks = less HBM traffic; VMEM stays comfortable up
+    to ~2k q rows at d≤128. The head dim is NOT padded to 128 — full-dim
+    blocks satisfy Mosaic's tiling rule and skip the 5x padding traffic the
+    DiT's dh=24 heads would otherwise pay.
+    """
     b, h, nq, d = q.shape
     nk = k.shape[2]
     block_q = min(block_q, _round_up(nq, 128))
     block_k = min(block_k, _round_up(nk, 128))
     pq = _round_up(nq, block_q)
     pk = _round_up(nk, block_k)
-    dp = _round_up(d, 128)
+    dp = d if d % 2 == 0 else d + 1  # keep lane pairs even; no 128 padding
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, pq - nq), (0, dp - d))).reshape(b * h, pq, dp)
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, pk - nk), (0, dp - d))).reshape(b * h, pk, dp)

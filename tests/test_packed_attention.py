@@ -1,0 +1,82 @@
+"""Packed-lane attention ops: numerical parity with the head-major path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lam_slide_tpu.models.latent_dit import apply_rope, rope_cos_sin
+from lam_slide_tpu.nn.norms import rms_normalize
+from lam_slide_tpu.ops.attention import xla_attention
+from lam_slide_tpu.ops.packed_attention import (
+    lane_rope_tables,
+    packed_rmsnorm,
+    packed_rope,
+    packed_small_attention,
+)
+
+N, L, H, DH = 6, 3, 4, 16
+D = H * DH
+
+
+def _pack(x_heads):
+    """[N, H, L, dh] -> [N, L, D] packed."""
+    return x_heads.transpose(0, 2, 1, 3).reshape(N, L, D)
+
+
+def _unpack(x_packed):
+    return x_packed.reshape(N, L, H, DH).transpose(0, 2, 1, 3)
+
+
+def test_packed_rmsnorm_matches_per_head():
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, H, L, DH))
+    scale = jax.random.uniform(jax.random.PRNGKey(1), (DH,)) + 0.5
+    ref = rms_normalize(x) * scale
+    out = packed_rmsnorm(_pack(x), H, scale)
+    np.testing.assert_allclose(np.asarray(_unpack(out)), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_rope_matches_apply_rope():
+    x = jax.random.normal(jax.random.PRNGKey(2), (N, H, L, DH))
+    cos, sin = rope_cos_sin(L, DH)
+    ref = apply_rope(x, cos, sin)
+    cos_l, sin_l = lane_rope_tables(cos, sin, H)
+    out = packed_rope(_pack(x), cos_l, sin_l)
+    np.testing.assert_allclose(np.asarray(_unpack(out)), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_small_attention_matches_xla():
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (N, H, L, DH))
+    k = jax.random.normal(jax.random.PRNGKey(4), (N, H, L, DH))
+    v = jax.random.normal(jax.random.PRNGKey(5), (N, H, L, DH))
+    ref = xla_attention(q, k, v)
+    out = packed_small_attention(_pack(q), _pack(k), _pack(v), H)
+    np.testing.assert_allclose(np.asarray(_unpack(out)), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_pipeline_full_parity():
+    """norm → rope → attention chained in both layouts."""
+    key = jax.random.PRNGKey(6)
+    q = jax.random.normal(key, (N, H, L, DH))
+    k = jax.random.normal(jax.random.PRNGKey(7), (N, H, L, DH))
+    v = jax.random.normal(jax.random.PRNGKey(8), (N, H, L, DH))
+    scale = jnp.ones((DH,))
+    cos, sin = rope_cos_sin(L, DH)
+
+    qr = apply_rope(rms_normalize(q) * scale, cos, sin)
+    kr = apply_rope(rms_normalize(k) * scale, cos, sin)
+    ref = xla_attention(qr, kr, v)
+
+    cos_l, sin_l = lane_rope_tables(cos, sin, H)
+    qp = packed_rope(packed_rmsnorm(_pack(q), H, scale), cos_l, sin_l)
+    kp = packed_rope(packed_rmsnorm(_pack(k), H, scale), cos_l, sin_l)
+    out = packed_small_attention(qp, kp, _pack(v), H)
+    np.testing.assert_allclose(np.asarray(_unpack(out)), np.asarray(ref), atol=1e-5)
+
+
+def test_bf16_packed_attention():
+    q = jax.random.normal(jax.random.PRNGKey(9), (N, L, D), jnp.bfloat16)
+    out = packed_small_attention(q, q, q, H)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
