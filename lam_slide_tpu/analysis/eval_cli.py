@@ -1,0 +1,123 @@
+"""4AA peptide evaluation CLI — the src/eval_peptide.py entry point.
+
+    python -m lam_slide_tpu.analysis.eval_cli --run <stage2_run_id> \
+        --workspace runs [--data-root data/4AA_sims_partial] \
+        [--num-rollouts 10] [--pdb-ids AAAA BBBB] [--figures]
+
+Loads the trained stage-2 run from the local registry (EMA weights; the
+frozen stage-1 rides inside its checkpoint constants), samples
+``num_rollouts`` chained windows per test peptide with the dopri5/Euler ODE
+sampler, writes multi-model PDB trajectories, runs the torsion/TICA/MSM
+JSD analysis against the reference MD, and prints the BB/SC/ALL/TICA/MSMS
+summary as one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run", required=True, help="stage-2 run id in the registry")
+    p.add_argument("--workspace", default="runs")
+    p.add_argument("--data-root", default=None, help="4AA data dir (test split)")
+    p.add_argument("--num-rollouts", type=int, default=10)
+    p.add_argument("--pdb-ids", nargs="*", default=None)
+    p.add_argument("--sampling-method", default="euler", choices=["euler", "heun", "dopri5"])
+    p.add_argument("--num-steps", type=int, default=10)
+    p.add_argument("--truncate", type=int, default=None)
+    p.add_argument("--no-msm", action="store_true")
+    p.add_argument("--no-decorr", action="store_true")
+    p.add_argument("--figures", action="store_true")
+    p.add_argument("--outdir", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from lam_slide_tpu.analysis.eval_peptide import EvalConfig, evaluate_peptides
+    from lam_slide_tpu.analysis.rollout import RolloutSampler
+    from lam_slide_tpu.composites.peptide import (
+        PeptideFirstStageConfig,
+        PeptideSecondStageConfig,
+        build_peptide_first_stage,
+        build_peptide_second_stage,
+    )
+    from lam_slide_tpu.data.peptide import PeptideDataset
+    from lam_slide_tpu.experiments.registry import load_checkpoint_raw
+    from lam_slide_tpu.geometry.protein import atom14_to_pdb
+    from lam_slide_tpu.train.checkpoint import resolve_run
+
+    info = resolve_run(args.workspace, args.run)
+    meta = info.get("config", {})
+    cfg2 = PeptideSecondStageConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in meta.get("config", {}).items()
+        if k in PeptideSecondStageConfig.__dataclass_fields__
+    })
+    raw = load_checkpoint_raw(info["run_dir"], "best")
+    params = raw.get("ema_params") or raw["params"]
+    fs_vars = raw["constants"]["first_stage"]
+
+    fs_cfg_src = {}
+    if meta.get("first_stage_run"):
+        fs_cfg_src = resolve_run(args.workspace, meta["first_stage_run"]).get(
+            "config", {}).get("config", {})
+    fs_cfg = PeptideFirstStageConfig(**{
+        k: v for k, v in fs_cfg_src.items()
+        if k in PeptideFirstStageConfig.__dataclass_fields__
+    })
+    fs_model = build_peptide_first_stage(fs_cfg)
+    ss = build_peptide_second_stage(cfg2, fs_model, fs_vars)
+
+    sampler = RolloutSampler(
+        ss, params, fs_vars,
+        sampling_kwargs={"sampling_method": args.sampling_method,
+                         "num_steps": args.num_steps},
+    )
+
+    ds = PeptideDataset(
+        data_dir=None if args.data_root is None else args.data_root,
+        first_stage=False, n_timesteps=cfg2.num_timesteps,
+        num_entities=fs_cfg.num_entities,
+        synthetic_frames=max(4 * cfg2.num_timesteps, 200),
+    )
+    outdir = args.outdir or os.path.join(info["run_dir"], "eval")
+    os.makedirs(outdir, exist_ok=True)
+
+    rng = jax.random.PRNGKey(137)
+    samples = {}
+    for traj in ds.trajectories:
+        name = traj["name"]
+        if args.pdb_ids and name not in args.pdb_ids:
+            continue
+        t0 = time.time()
+        rng, key = jax.random.split(rng)
+        res = traj["aatype"][0]
+        res_mask = traj["atom14_mask"][0]
+        gen = sampler.sample_rollout(
+            key, traj["atom14_pos"][0], res, res_mask, num_rollouts=args.num_rollouts)
+        print(f"sampled {name}: {gen.shape[0]} frames in {time.time()-t0:.1f}s")
+        atom14_to_pdb(gen[:: max(len(gen) // 50, 1)], res,
+                      os.path.join(outdir, f"{name}.pdb"))
+        samples[name] = {"traj": gen, "ref": traj["atom14_pos"], "aatype": res}
+
+    cfg = EvalConfig(truncate=args.truncate, run_msm=not args.no_msm,
+                     run_decorrelation=not args.no_decorr)
+    per, summary = evaluate_peptides(samples, cfg)
+    if args.figures:
+        from lam_slide_tpu.analysis.plots import eval_summary_figure
+
+        eval_summary_figure(per, path=os.path.join(outdir, "summary.png"))
+    with open(os.path.join(outdir, "metrics.json"), "w") as f:
+        json.dump({"summary": summary,
+                   "per_peptide": {k: v["JSD"] for k, v in per.items()}}, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

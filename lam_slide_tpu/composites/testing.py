@@ -1,0 +1,114 @@
+"""Domain test protocols — the reference test_step/test_epoch_end loops.
+
+Each runner drives the jitted K-sampling over a test loader and reduces to
+the paper metrics:
+
+* MD17 (second_stage/md17.py:139-179): zero target frames, K=5 repeats,
+  mean ADE/FDE x dataset scale, per molecule.
+* Pedestrian (second_stage/pedestrian.py:148-239): per-entity trajectories,
+  min over num_runs=20 of K=20 samples, optional k-means FPC; x scale.
+* NBA (second_stage/nba.py): same with K=60, min over first 20 + FPC.
+"""
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax import numpy as jnp
+
+from lam_slide_tpu.composites.evaluation import (
+    masked_ade_fde,
+    mean_over_k_ade_fde,
+    per_entity_min_k_ade_fde,
+    zero_target_frames,
+)
+
+
+def evaluate_md17(
+    ss,
+    params,
+    fs_variables,
+    loaders: Dict[str, object],
+    scale: float,
+    k: int = 5,
+    rng: Optional[jax.Array] = None,
+    sampling_kwargs: Optional[dict] = None,
+) -> Dict[str, float]:
+    """-> {"test/<molecule>/ade": ..., "test/<molecule>/fde": ...}."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    cond_end = ss.cond_idx[1]
+    sample_k = jax.jit(
+        ss.make_k_sample_fn(k=k, sampling_method="ODE",
+                            sampling_kwargs=sampling_kwargs or
+                            {"sampling_method": "euler", "num_steps": 10})
+    )
+    out = {}
+    for name, loader in loaders.items():
+        ades, fdes = [], []
+        for batch in loader:
+            batch = jax.tree.map(jnp.asarray, batch)
+            true_pos = batch["pos"][:, cond_end:]
+            mask = batch["attention_mask"][:, cond_end:]
+            batch = zero_target_frames(batch, cond_end)
+            rng, key = jax.random.split(rng)
+            preds = sample_k(params, fs_variables, batch, key)
+            ade, fde = mean_over_k_ade_fde(preds["pos"][:, :, cond_end:], true_pos, mask)
+            ades.append(np.asarray(ade))
+            fdes.append(np.asarray(fde))
+        out[f"test/{name}/ade"] = float(np.concatenate(ades).mean() * scale)
+        out[f"test/{name}/fde"] = float(np.concatenate(fdes).mean() * scale)
+    return out
+
+
+def evaluate_min_k(
+    ss,
+    params,
+    fs_variables,
+    loaders: Dict[str, object],
+    scale: float = 1.0,
+    k: int = 20,
+    num_runs: int = 20,
+    post_process: bool = False,
+    rng: Optional[jax.Array] = None,
+    sampling_kwargs: Optional[dict] = None,
+    pos_key: str = "pos",
+) -> Dict[str, float]:
+    """Pedestrian/NBA protocol -> test/<scene>/{ade,fde}[,_post]."""
+    if k < num_runs:
+        raise ValueError("K must be >= num_runs (second_stage/pedestrian.py:44-47)")
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    cond_end = ss.cond_idx[1]
+    sample_k = jax.jit(
+        ss.make_k_sample_fn(k=k, sampling_method="ODE",
+                            sampling_kwargs=sampling_kwargs or
+                            {"sampling_method": "euler", "num_steps": 10})
+    )
+    metric = jax.jit(lambda p, t, m: per_entity_min_k_ade_fde(
+        p, t, m, num_runs=num_runs, fpc=False))
+    metric_fpc = jax.jit(lambda p, t, m: per_entity_min_k_ade_fde(
+        p, t, m, num_runs=num_runs, fpc=True))
+
+    out = {}
+    for name, loader in loaders.items():
+        accum = {"ade": [], "fde": [], "ade_post": [], "fde_post": []}
+        for batch in loader:
+            batch = jax.tree.map(jnp.asarray, batch)
+            true_pos = batch[pos_key][:, cond_end:]
+            emask = batch["attention_mask"][:, 0]
+            batch = zero_target_frames(batch, cond_end, keys=(pos_key,))
+            rng, key = jax.random.split(rng)
+            preds = sample_k(params, fs_variables, batch, key)
+            pred_k = preds[pos_key][:, :, cond_end:]
+            ade, fde = metric(pred_k[:num_runs], true_pos, emask)
+            accum["ade"].append(float(ade))
+            accum["fde"].append(float(fde))
+            if post_process:
+                ade_p, fde_p = metric_fpc(pred_k, true_pos, emask)
+                accum["ade_post"].append(float(ade_p))
+                accum["fde_post"].append(float(fde_p))
+        out[f"test/{name}/ade"] = float(np.mean(accum["ade"]) * scale)
+        out[f"test/{name}/fde"] = float(np.mean(accum["fde"]) * scale)
+        if post_process:
+            out[f"test/{name}/ade_post"] = float(np.mean(accum["ade_post"]) * scale)
+            out[f"test/{name}/fde_post"] = float(np.mean(accum["fde_post"]) * scale)
+    return out

@@ -75,3 +75,31 @@ def pad_collate_temporal(
     mask = np.arange(num_entities)[None, None, :] < n_real[:, None, None]
     out["attention_mask"] = np.broadcast_to(mask, (len(samples), t_len, num_entities)).copy()
     return out
+
+
+def pad_collate_temporal_v2(
+    samples: Sequence[Dict[str, np.ndarray]], num_entities: int
+) -> Dict[str, np.ndarray]:
+    """Peptide-style temporal collate (CollatePadBatchTempV2,
+    collate_functions.py:85-116): arrays keep their extra trailing dims
+    (e.g. atom14 [T, R, 14, 3]); the entity axis (1) pads to the static
+    budget; attention_mask marks real entities [B, T, num_entities]."""
+    out: Dict[str, np.ndarray] = {}
+    n_real = np.asarray([s["entities"].shape[1] for s in samples], dtype=np.int32)
+    t_len = np.asarray(samples[0]["entities"]).shape[0]
+    for key in samples[0]:
+        vals = [np.asarray(s[key]) for s in samples]
+        if key.startswith("cond") or vals[0].ndim == 0:
+            out[key] = np.stack(vals)
+            continue
+        padded = []
+        for v in vals:
+            if v.ndim < 2:
+                padded.append(v)
+                continue
+            pad = [(0, 0), (0, num_entities - v.shape[1])] + [(0, 0)] * (v.ndim - 2)
+            padded.append(np.pad(v, pad))
+        out[key] = np.stack(padded)
+    mask = np.arange(num_entities)[None, None, :] < n_real[:, None, None]
+    out["attention_mask"] = np.broadcast_to(mask, (len(samples), t_len, num_entities)).copy()
+    return out

@@ -137,6 +137,33 @@ def similarity(pred: jnp.ndarray, mask: jnp.ndarray, sigma: float = 0.01) -> jnp
     return jnp.sum(sim) / jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
 
 
+def masked_cosine_v3(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Clamped squared-difference variant (reference MaskedCosineLossV3,
+    losses.py:95-109 — despite the name it is an MSE with |diff| clamped)."""
+    diff = jnp.maximum(jnp.abs(pred - target), 1e-3)
+    per_item = jnp.sum(diff**2, axis=-1)
+    return _mask_mean(per_item, mask)
+
+
+def inter_distance_signed(
+    pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Signed (non-squared) pairwise-distance difference (InterDistanceLoss2)."""
+    pair_mask = (mask[..., :, None] * mask[..., None, :]).astype(jnp.float32)
+    diff = (cdist(pred, pred) - cdist(target, target)) * pair_mask
+    return jnp.sum(diff) / jnp.maximum(jnp.sum(pair_mask), 1.0)
+
+
+def inter_distance_adjacent(
+    pred: jnp.ndarray, target: jnp.ndarray, adj_matrix: jnp.ndarray
+) -> jnp.ndarray:
+    """Squared distance error over an explicit adjacency (bond) matrix
+    (InterDistanceLossAdjacent)."""
+    adj = adj_matrix.astype(jnp.float32)
+    diff = (cdist(pred, pred) - cdist(target, target)) * adj
+    return jnp.sum(diff**2) / jnp.maximum(jnp.sum(adj), 1.0)
+
+
 def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
     """Mean over all non-batch axes (transport/utils.py mean_flat)."""
     return jnp.mean(x, axis=tuple(range(1, x.ndim)))

@@ -33,3 +33,25 @@ def linear_warmup_cosine(
         return jnp.where(step <= warmup_steps, warm, cos)
 
     return schedule
+
+
+def warmup_cosine_per_epoch(
+    base_lr: float,
+    warmup_epochs: int,
+    total_epochs: int,
+    steps_per_epoch: int,
+    eta_min: float = 0.0,
+):
+    """Per-epoch variant (reference WarmupCosineAnnealingLR, schedulers.py:44-70):
+    LR changes once per epoch, linear warmup then cosine to eta_min."""
+
+    def schedule(step):
+        epoch = jnp.floor(jnp.asarray(step, jnp.float32) / max(steps_per_epoch, 1))
+        warm = base_lr * (epoch + 1.0) / jnp.maximum(warmup_epochs, 1)
+        progress = (epoch - warmup_epochs) / jnp.maximum(total_epochs - warmup_epochs, 1)
+        cos = eta_min + 0.5 * (base_lr - eta_min) * (
+            1.0 + jnp.cos(math.pi * jnp.clip(progress, 0.0, 1.0))
+        )
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule

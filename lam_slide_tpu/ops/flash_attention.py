@@ -74,7 +74,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=512):
+def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=1024):
     """q,k,v: [B, H, N, D]; bias: [B, Nk] additive fp32. -> [B, H, N, D].
 
     block_q defaults high: each (bh, q-block) program re-reads the full K/V

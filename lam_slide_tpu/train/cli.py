@@ -35,6 +35,11 @@ def main(argv=None):
     )
     parser.add_argument("--molecule", default="all", help="md17: molecule or 'all'")
     parser.add_argument("--scene", default="score", help="nba: score|rebound")
+    parser.add_argument(
+        "--test", action="store_true",
+        help="after training, run the domain test protocol on the eval loaders "
+             "(mean-K ADE/FDE for md17; per-entity min-K [+FPC] for pedestrian/nba)",
+    )
     args = parser.parse_args(argv)
 
     if args.devices:
@@ -79,6 +84,38 @@ def main(argv=None):
     register_run(args.workspace, run_id, run_dir, exp.meta)
     trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir, mesh=mesh)
     state = trainer.fit(exp.variables, exp.train_loader, exp.val_loaders, resume=args.resume)
+
+    if args.test and exp.meta.get("stage") == 2:
+        # Reference semantics: test on EMA weights, single program, fp32
+        # sampling (src/train.py:100-118). K/num_runs per domain protocol.
+        import json
+
+        from lam_slide_tpu.composites.testing import evaluate_md17, evaluate_min_k
+
+        params = state.ema_params if state.ema_params is not None else state.params
+        fs_vars = state.constants["first_stage"]
+        cfg = exp.meta.get("config", {})
+        k = int(cfg.get("K", 5))
+        if args.smoke:
+            k = min(k, 2)
+        if exp.meta["domain"] == "md17":
+            from lam_slide_tpu.experiments.registry import MD17_SCALES
+
+            metrics = evaluate_md17(exp.model, params, fs_vars, exp.val_loaders,
+                                    scale=MD17_SCALES[args.molecule], k=k)
+        elif exp.meta["domain"] in ("pedestrian", "nba"):
+            num_runs = min(int(cfg.get("num_runs", k)), k)
+            metrics = evaluate_min_k(exp.model, params, fs_vars, exp.val_loaders,
+                                     k=k, num_runs=num_runs,
+                                     post_process=bool(cfg.get("post_process", False)))
+        else:
+            metrics = {}
+            print("use lam_slide_tpu.analysis.eval_cli for the peptide eval pipeline")
+        if metrics:
+            with open(os.path.join(run_dir, "test_metrics.json"), "w") as f:
+                json.dump(metrics, f, indent=2)
+            print(json.dumps(metrics))
+
     print(f"done: step={int(state.step)} run_dir={run_dir}")
     return 0
 

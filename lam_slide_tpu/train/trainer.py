@@ -136,21 +136,35 @@ class Trainer:
         if not self.quiet:
             print(f"params: {n_params:,}  steps/epoch: {steps_per_epoch}")
 
+        from lam_slide_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer()
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             acc: Dict[str, list] = {}
             for batch in train_loader:
                 batch = self._put(batch)
+                timer.tick()
                 state, metrics = train_step(state, batch, rng)
                 for k, v in metrics.items():
                     acc.setdefault(k, []).append(float(v))
             train_metrics = _mean_metrics(acc)
-            record = {"epoch": epoch, "split": "train", "time_s": round(time.time() - t0, 2)}
+            record = {"epoch": epoch, "split": "train", "time_s": round(time.time() - t0, 2),
+                      "step_ms": round(timer.mean_step_s * 1e3, 2)}
             record.update({f"train/{k}": v for k, v in train_metrics.items()})
             self.logger.log(record)
 
             if val_loaders and (epoch + 1) % cfg.val_every_n_epochs == 0:
                 val_metrics = self.validate(state, val_loaders, eval_step, rng, epoch)
+                # in-training evaluation hooks (the reference's sampling
+                # callbacks, e.g. SIAtom14SampleCallback): each fn gets
+                # (state, epoch) and returns a metric dict
+                for name, fn in self.eval_fns.items():
+                    extra = fn(state, epoch)
+                    if extra:
+                        rec = {"epoch": epoch, "split": f"hook/{name}"}
+                        rec.update({f"{name}/{k}": float(v) for k, v in extra.items()})
+                        self.logger.log(rec)
                 ckpt.save(state, val_metrics)
             else:
                 ckpt.save(state)

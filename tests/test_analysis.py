@@ -189,3 +189,25 @@ class TestBackbone:
         phi = rng.uniform(-np.pi, np.pi, 4000)
         psi = rng.uniform(-np.pi, np.pi, 4000)
         assert abs(backbone.ramachandran_kld(phi, psi, phi, psi)) < 1e-10
+
+
+class TestPlots:
+    def test_figures_render(self, tmp_path, traj):
+        import matplotlib.pyplot as plt
+
+        from lam_slide_tpu.analysis import plots
+
+        rng = np.random.default_rng(0)
+        phi = rng.uniform(-np.pi, np.pi, 500)
+        psi = rng.uniform(-np.pi, np.pi, 500)
+        plots.ramachandran(phi, psi, title="test")
+        plots.free_energy_surface(phi, psi)
+        plots.feature_histograms(np.stack([phi, psi], 1), labels=["PHI", "PSI"])
+        plots.point_cloud(rng.standard_normal((10, 3)))
+        plots.trajectories_2d(rng.standard_normal((20, 5, 2)), cond_end=8)
+        per = {"AAAA": {"JSD": {"PHI 1": 0.2, "TICA-0": 0.3},
+                        "ref_metastable_probs": np.array([0.6, 0.4]),
+                        "traj_metastable_probs": np.array([0.5, 0.5])}}
+        fig = plots.eval_summary_figure(per, path=str(tmp_path / "summary.png"))
+        assert (tmp_path / "summary.png").exists()
+        plt.close("all")

@@ -103,3 +103,21 @@ def test_loader_propagates_worker_errors():
     loader = Loader(Bad(), batch_size=2, collate_fn=lambda b: b)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_pad_collate_temporal_v2():
+    t, r = 3, 4
+    s = {
+        "atom14_pos": np.ones((t, r, 14, 3)),
+        "aatype": np.ones((t, r), np.int64),
+        "entities": np.tile(np.arange(r), (t, 1)),
+        "cond_x": np.int64(1),
+    }
+    from lam_slide_tpu.data.collate import pad_collate_temporal_v2
+
+    batch = pad_collate_temporal_v2([s, s], num_entities=6)
+    assert batch["atom14_pos"].shape == (2, t, 6, 14, 3)
+    assert batch["attention_mask"].shape == (2, t, 6)
+    assert batch["attention_mask"][:, :, :r].all()
+    assert not batch["attention_mask"][:, :, r:].any()
+    assert np.all(batch["atom14_pos"][:, :, r:] == 0)

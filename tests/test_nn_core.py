@@ -148,3 +148,32 @@ def test_schedule_no_warmup_starts_at_base():
         base_lr=4e-4, warmup_epochs=0, max_epochs=100, steps_per_epoch=10, min_lr=1e-7
     )
     assert float(sched(0)) == pytest.approx(4e-4, rel=1e-4)
+
+
+class TestExtraLossVariants:
+    def test_masked_cosine_v3_clamps(self):
+        import jax.numpy as jnp
+        from lam_slide_tpu.nn.losses import masked_cosine_v3
+
+        pred = jnp.zeros((4, 3))
+        target = jnp.zeros((4, 3))
+        mask = jnp.ones(4)
+        # identical inputs still pay the 1e-3 clamp floor
+        v = float(masked_cosine_v3(pred, target, mask))
+        assert v == pytest.approx(3 * 1e-6, rel=1e-3)
+
+    def test_inter_distance_signed_and_adjacent(self):
+        import jax.numpy as jnp
+        from lam_slide_tpu.nn.losses import (
+            inter_distance_adjacent,
+            inter_distance_signed,
+        )
+
+        pred = jnp.asarray([[[0.0, 0, 0], [2.0, 0, 0], [4.0, 0, 0]]])
+        target = jnp.asarray([[[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]]])
+        mask = jnp.ones((1, 3))
+        signed = float(inter_distance_signed(pred, target, mask))
+        assert signed > 0  # predictions uniformly stretched
+        adj = jnp.asarray([[[0, 1, 0], [1, 0, 1], [0, 1, 0]]], jnp.float32)
+        v = float(inter_distance_adjacent(pred, target, adj))
+        assert v == pytest.approx(1.0)  # each bonded pair off by exactly 1
