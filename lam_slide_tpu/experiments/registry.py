@@ -195,7 +195,8 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         else MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
                                    num_heads=4, class_conditional=True, vec_in_dim=32)
     )
-    ss = build_md17_second_stage(cfg2, fs_model, fs_vars)
+    dit_dtype = jnp.float32 if smoke else jnp.bfloat16  # bf16-mixed stage-2
+    ss = build_md17_second_stage(cfg2, fs_model, fs_vars, dtype=dit_dtype)
     x1, mk = ss.prepare_batch(fs_vars, batch)
     params = ss.backbone.init(
         jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
@@ -210,6 +211,7 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     trainer_cfg = TrainerConfig(
         max_epochs=2 if smoke else 1000, lr=1e-3, monitor="si_loss",
         val_every_n_epochs=1 if smoke else 10, seed=seed,
+        limit_val_batches=0 if smoke else 5,  # reference limit_val_batches: 5
     )
     return ExperimentRun(
         name="md17_second_stage", trainer_cfg=trainer_cfg, variables=variables,
@@ -306,7 +308,8 @@ def pedestrian_second_stage(smoke=False, data_root=None, workspace="runs", seed=
             if not smoke else
             PedestrianSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1, hidden_size=16,
                                         num_heads=2, class_conditional=True, vec_in_dim=16))
-    ss = build_pedestrian_second_stage(cfg2, fs_model, fs_vars)
+    dit_dtype = jnp.float32 if smoke else jnp.bfloat16  # bf16-mixed stage-2
+    ss = build_pedestrian_second_stage(cfg2, fs_model, fs_vars, dtype=dit_dtype)
     x1, mk = ss.prepare_batch(fs_vars, batch)
     params = ss.backbone.init(
         jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
@@ -408,7 +411,8 @@ def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
             if not smoke else
             NBASecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1, hidden_size=16,
                                  num_heads=2, class_conditional=True, vec_in_dim=16))
-    ss = build_nba_second_stage(cfg2, fs_model, fs_vars)
+    dit_dtype = jnp.float32 if smoke else jnp.bfloat16  # bf16-mixed stage-2
+    ss = build_nba_second_stage(cfg2, fs_model, fs_vars, dtype=dit_dtype)
     x1, mk = ss.prepare_batch(fs_vars, batch)
     params = ss.backbone.init(
         jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
@@ -517,7 +521,8 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
             if not smoke else
             PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
                                      num_heads=4, num_timesteps=n_t))
-    ss = build_peptide_second_stage(cfg2, fs_model, fs_vars)
+    dit_dtype = jnp.float32 if smoke else jnp.bfloat16  # bf16-mixed stage-2
+    ss = build_peptide_second_stage(cfg2, fs_model, fs_vars, dtype=dit_dtype)
     x1, mk = ss.prepare_batch(fs_vars, batch)
     params = ss.backbone.init(jax.random.PRNGKey(seed + 1), x1,
                               jnp.zeros((x1.shape[0],)), mk["x_cond"],

@@ -41,7 +41,9 @@ def create_train_state(
     tx: optax.GradientTransformation,
     ema: bool = True,
 ) -> TrainState:
-    params = variables["params"]
+    # Copy: the train step donates the state's param buffers; the caller's
+    # ``variables`` must stay alive (re-fit, eval, a second Trainer, ...).
+    params = jax.tree.map(jnp.copy, variables["params"])
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,

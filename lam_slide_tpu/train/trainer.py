@@ -38,6 +38,7 @@ class TrainerConfig:
     monitor: str = "loss"  # metric key within val metrics
     monitor_mode: str = "min"
     val_every_n_epochs: int = 1
+    limit_val_batches: int = 0  # 0 = all (reference limit_val_batches)
     log_every_steps: int = 50
     seed: int = 0
 
@@ -174,7 +175,9 @@ class Trainer:
         all_means: Dict[str, list] = {}
         for name, loader in val_loaders.items():
             acc: Dict[str, list] = {}
-            for batch in loader:
+            for bi, batch in enumerate(loader):
+                if self.cfg.limit_val_batches and bi >= self.cfg.limit_val_batches:
+                    break
                 batch = self._put(batch)
                 metrics = eval_step(state, batch, rng)
                 for k, v in metrics.items():

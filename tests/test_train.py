@@ -126,3 +126,36 @@ def test_run_registry(tmp_path):
     assert info["config"]["lr"] == 1e-3
     with pytest.raises(KeyError):
         resolve_run(ws, "missing")
+
+
+def test_trainer_fit_val_ckpt_resume(tmp_path):
+    """Trainer end-to-end: fit with val + eval hooks, checkpoint, resume."""
+    from lam_slide_tpu.train.trainer import Trainer, TrainerConfig
+
+    model, _, _, batch, loss_fn = _setup()
+    variables = model.init(jax.random.PRNGKey(0), batch["x"])
+
+    class OneBatchLoader:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            yield batch
+            yield batch
+
+    hook_calls = []
+    cfg = TrainerConfig(max_epochs=3, lr=1e-2, monitor="loss", limit_val_batches=1)
+    trainer = Trainer(cfg, loss_fn, str(tmp_path / "run"), quiet=True,
+                      eval_fns={"probe": lambda s, e: hook_calls.append(e) or {"x": 1.0}})
+    state = trainer.fit(variables, OneBatchLoader(), {"val": OneBatchLoader()})
+    assert int(state.step) == 6
+    assert hook_calls == [0, 1, 2]
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+    assert (tmp_path / "run" / "checkpoints" / "best").exists()
+
+    # resume continues from the checkpointed step with more epochs
+    cfg2 = TrainerConfig(max_epochs=5, lr=1e-2, monitor="loss")
+    trainer2 = Trainer(cfg2, loss_fn, str(tmp_path / "run"), quiet=True)
+    state2 = trainer2.fit(variables, OneBatchLoader(), {"val": OneBatchLoader()},
+                          resume=True)
+    assert int(state2.step) == 10
