@@ -71,3 +71,62 @@ def radius_of_gyration(xyz: np.ndarray) -> np.ndarray:
     """Per-frame Rg of [T, N, 3] coordinates."""
     centered = xyz - xyz.mean(axis=1, keepdims=True)
     return np.sqrt((centered**2).sum(-1).mean(-1))
+
+
+def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Binary ROC-AUC via the rank statistic (torchmetrics AUROC stand-in)."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels).astype(bool)
+    n_pos = labels.sum()
+    n_neg = len(labels) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores)
+    ranks = np.empty(len(scores))
+    # average ranks for ties
+    sorted_scores = scores[order]
+    ranks[order] = np.arange(1, len(scores) + 1)
+    for val in np.unique(sorted_scores):
+        sel = scores == val
+        ranks[sel] = ranks[sel].mean()
+    return float((ranks[labels].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def multiclass_auroc(logits: np.ndarray, targets: np.ndarray) -> float:
+    """Macro one-vs-rest AUROC (reference torchmetrics AUROC(multiclass),
+    first_stage/nba.py:92-99 / peptide metrics)."""
+    n_classes = logits.shape[-1]
+    aucs = []
+    for c in range(n_classes):
+        auc = roc_auc(logits[:, c], targets == c)
+        if np.isfinite(auc):
+            aucs.append(auc)
+    return float(np.mean(aucs)) if aucs else float("nan")
+
+
+def traj_analysis(
+    gen_ca: np.ndarray, ref_ca: np.ndarray, bins: int = 50
+) -> dict:
+    """Composite backbone metric bundle (reference traj_utils.traj_analysis):
+    validity, contact RMSE, Rg JSD, pairwise-distance JSD."""
+    from scipy.spatial.distance import jensenshannon
+
+    rg_ref = radius_of_gyration(ref_ca)
+    rg_gen = radius_of_gyration(gen_ca)
+    edges = np.linspace(rg_ref.min(), rg_ref.max(), bins)
+    rg_jsd = float(jensenshannon(np.histogram(rg_ref, edges)[0],
+                                 np.histogram(rg_gen, edges)[0]))
+
+    def pdists(ca):
+        n = ca.shape[1]
+        iu = np.triu_indices(n, 1)
+        d = np.linalg.norm(ca[:, :, None] - ca[:, None, :], axis=-1)
+        return d[:, iu[0], iu[1]]
+
+    pw_jsd = js_distance(pdists(ref_ca), pdists(gen_ca), bins)
+    return {
+        "val_ca": ca_validity(gen_ca),
+        "contact_rmse": contact_rmse(ref_ca, gen_ca),
+        "rg_jsd": rg_jsd,
+        "pwd_jsd": pw_jsd,
+    }

@@ -183,3 +183,55 @@ def estimate_msm(
 def metastable_probs(meta_dtraj: np.ndarray, n_metastable: int = 10) -> np.ndarray:
     """Occupation frequencies (eval_peptide.py:252-254)."""
     return (meta_dtraj == np.arange(n_metastable)[:, None]).mean(1)
+
+
+# ---------------------------------------------------------------------------
+# Transition-path sampling utilities (reference analysis.py:70-109)
+# ---------------------------------------------------------------------------
+
+
+def sample_tp(
+    trans: np.ndarray, start_state: int, end_state: int, traj_len: int,
+    n_samples: int, rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Sample discrete transition paths bridging start→end under a Markov
+    chain: P(s_t | s_{t-1}, s_N) ∝ T[s_{t-1}, s_t] · (T^{N-t-1})[s_t, s_N]."""
+    rng = rng or np.random.default_rng(0)
+    n = traj_len
+    powers = [np.linalg.matrix_power(trans, k) for k in range(n)]
+    s_t = np.full(n_samples, start_state, dtype=int)
+    states = [s_t]
+    for t in range(1, n - 1):
+        numerator = powers[n - t - 1][:, end_state] * trans[s_t, :]
+        denom = powers[n - t][s_t, end_state][:, None]
+        probs = numerator / np.maximum(denom, 1e-30)
+        probs = probs / probs.sum(1, keepdims=True)
+        s_t = np.array([rng.choice(len(trans), p=p) for p in probs])
+        states.append(s_t)
+    states.append(np.full(n_samples, end_state, dtype=int))
+    return np.stack(states, axis=1)
+
+
+def get_tp_likelihood(tp: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """Per-step bridge transition probabilities of given paths
+    (analysis.py:88-104). tp: [n_samples, N]."""
+    n_samples, n = tp.shape
+    s_n = tp[0, -1]
+    powers = [np.linalg.matrix_power(trans, k) for k in range(n)]
+    out = []
+    for i in range(n - 1):
+        t = i + 1
+        s_t = tp[:, i]
+        numerator = powers[n - t - 1][:, s_n] * trans[s_t, :]
+        denom = powers[n - t][s_t, s_n][:, None]
+        probs = numerator / np.maximum(denom, 1e-30)
+        out.append(probs[np.arange(n_samples), tp[:, i + 1]])
+    probs = np.stack(out, axis=1)
+    probs[np.isnan(probs)] = 0.0
+    return probs
+
+
+def get_state_probs(tp: np.ndarray, num_states: int = 10) -> np.ndarray:
+    """State occupation over a path ensemble (analysis.py:107-109)."""
+    counts = np.bincount(tp.reshape(-1), minlength=num_states)
+    return counts / counts.sum()

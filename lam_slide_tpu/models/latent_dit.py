@@ -101,6 +101,28 @@ class Modulation(nn.Module):
         return first, second
 
 
+class ModulationTriple(nn.Module):
+    """vec [B, D] -> 3 (shift, scale, gate) triples (reference mmdit.py:200-212;
+    provided for triple-branch DiT variants)."""
+
+    dim: int
+    zero_init: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vec: jnp.ndarray):
+        kernel_init = inits.zeros if self.zero_init else torch_linear_init
+        out = nn.Dense(9 * self.dim, kernel_init=kernel_init, dtype=self.dtype, name="lin")(
+            nn.silu(vec)
+        )
+        parts = jnp.split(out[:, None, None, :], 9, axis=-1)
+        return (
+            ModulationOut(*parts[:3]),
+            ModulationOut(*parts[3:6]),
+            ModulationOut(*parts[6:]),
+        )
+
+
 class MLPEmbedder(nn.Module):
     """Linear -> SiLU -> Linear vector embedder (mmdit.py:116-124)."""
 

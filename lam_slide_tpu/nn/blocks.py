@@ -52,6 +52,23 @@ class FeedForward(nn.Module):
         return nn.Dense(out_dim, kernel_init=torch_linear_init, dtype=self.dtype, name="out")(x)
 
 
+def dropout_seq(rng, x: jnp.ndarray, mask: Optional[jnp.ndarray], dropout: float):
+    """Random sequence-element dropout with mask/index compaction
+    (reference torch_modules.dropout_seq): keeps a random (1-dropout)
+    fraction of the sequence axis per batch element. Returns (x, mask).
+    Static output length = ceil(n * (1 - dropout)) — TPU-safe."""
+    b, n = x.shape[:2]
+    keep = max(1, int(n * (1.0 - dropout)))
+    scores = jax.random.uniform(rng, (b, n))
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1.0)  # drop padding first
+    idx = jnp.argsort(-scores, axis=1)[:, :keep]
+    batch_idx = jnp.arange(b)[:, None]
+    new_x = x[batch_idx, idx]
+    new_mask = mask[batch_idx, idx] if mask is not None else None
+    return new_x, new_mask
+
+
 class Attention(nn.Module):
     """Multi-head attention; queries from x, keys/values from context.
 

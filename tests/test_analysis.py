@@ -211,3 +211,79 @@ class TestPlots:
         fig = plots.eval_summary_figure(per, path=str(tmp_path / "summary.png"))
         assert (tmp_path / "summary.png").exists()
         plt.close("all")
+
+
+class TestTPSAndAUROC:
+    def test_sample_tp_bridges(self):
+        trans = np.array([[0.9, 0.1, 0.0], [0.1, 0.8, 0.1], [0.0, 0.1, 0.9]])
+        paths = msm.sample_tp(trans, 0, 2, traj_len=8, n_samples=5,
+                              rng=np.random.default_rng(0))
+        assert paths.shape == (5, 8)
+        assert (paths[:, 0] == 0).all() and (paths[:, -1] == 2).all()
+        probs = msm.get_tp_likelihood(paths, trans)
+        assert probs.shape == (5, 7)
+        assert np.all(probs >= 0) and np.all(probs <= 1)
+        occ = msm.get_state_probs(paths, num_states=3)
+        assert occ.sum() == pytest.approx(1.0)
+
+    def test_auroc(self):
+        labels = np.array([0, 0, 1, 1])
+        assert backbone.roc_auc(np.array([0.1, 0.2, 0.8, 0.9]), labels) == 1.0
+        assert backbone.roc_auc(np.array([0.9, 0.8, 0.2, 0.1]), labels) == 0.0
+        mid = backbone.roc_auc(np.array([0.5, 0.5, 0.5, 0.5]), labels)
+        assert mid == pytest.approx(0.5)
+        logits = np.eye(3)[np.array([0, 1, 2, 1])] * 5.0
+        assert backbone.multiclass_auroc(logits, np.array([0, 1, 2, 1])) == 1.0
+
+    def test_traj_analysis_bundle(self):
+        rng = np.random.default_rng(0)
+        base = np.cumsum(np.tile([[0.38, 0, 0]], (5, 1)), axis=0)
+        ca = base[None] + rng.normal(0, 0.005, (60, 5, 3))
+        out = backbone.traj_analysis(ca[:30], ca[30:])
+        for k in ("val_ca", "contact_rmse", "rg_jsd", "pwd_jsd"):
+            assert k in out and np.isfinite(out[k])
+        assert out["val_ca"] == 1.0
+
+
+def test_sampling_hook(tmp_path):
+    """In-training sampling callback over a tiny stage-2 model."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lam_slide_tpu.analysis.callbacks import make_peptide_sampling_hook
+    from lam_slide_tpu.composites.peptide import (
+        PeptideFirstStageConfig, PeptideSecondStageConfig,
+        build_peptide_first_stage, build_peptide_second_stage,
+    )
+    from lam_slide_tpu.train import create_train_state
+
+    fs_cfg = PeptideFirstStageConfig(num_entities=8, dim_input=16, dim_latent=8,
+                                     dim_entity=16, num_latents=2, num_split=2,
+                                     dim_head_cross=4, dim_head_latent=4,
+                                     dropout_query=0.0)
+    fs = build_peptide_first_stage(fs_cfg)
+    ds = PeptideDataset(first_stage=False, synthetic_peptides=1, synthetic_frames=40,
+                        n_timesteps=8, num_entities=8)
+    traj = ds.trajectories[0]
+    batch = {k: np.stack([traj[k][:8]]) for k in
+             ("atom14_pos", "atom14_mask", "atom14_pos_frame", "aatype",
+              "torsions", "torsions_mask")}
+    batch["entities"] = np.tile(np.arange(4), (1, 8, 1))
+    batch["attention_mask"] = np.ones((1, 8, 4), bool)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    frame0 = {k: v[:, 0] for k, v in batch.items()}
+    fs_vars = fs.init(jax.random.PRNGKey(0), frame0)
+    cfg2 = PeptideSecondStageConfig(depth=1, in_dim=8, hidden_size=16, num_heads=2,
+                                    cond_idx=(0, 1), num_timesteps=8)
+    ss = build_peptide_second_stage(cfg2, fs, fs_vars)
+    x1, mk = ss.prepare_batch(fs_vars, batch)
+    params = ss.backbone.init(jax.random.PRNGKey(1), x1, jnp.zeros((1,)),
+                              mk["x_cond"], mk["x_cond_mask"])["params"]
+    state = create_train_state({"params": params}, optax.adamw(1e-3)).replace(
+        constants={"first_stage": fs_vars})
+
+    hook = make_peptide_sampling_hook(ss, ds.trajectories, str(tmp_path),
+                                      num_rollouts=1, max_peptides=1, num_steps=2)
+    out = hook(state, epoch=0)
+    assert out is not None and "BB" in out and np.isfinite(out["BB"])

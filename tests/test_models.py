@@ -209,3 +209,24 @@ class TestLatentDiT:
         o1 = m1.apply(vs, x, t, x_cond, mask)
         o2 = m2.apply(vs, x, t, x_cond, mask)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_modulation_triple_and_dropout_seq():
+    import jax
+    import jax.numpy as jnp
+
+    from lam_slide_tpu.models.latent_dit import ModulationTriple
+    from lam_slide_tpu.nn.blocks import dropout_seq
+
+    mod = ModulationTriple(dim=8, zero_init=True)
+    vec = jax.random.normal(jax.random.PRNGKey(0), (2, 8))
+    vs = mod.init(jax.random.PRNGKey(1), vec)
+    m1, m2, m3 = mod.apply(vs, vec)
+    assert m1.shift.shape == (2, 1, 1, 8)
+    np.testing.assert_allclose(np.asarray(m3.gate), 0.0)  # zero-init identity
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 10, 4))
+    mask = jnp.ones((3, 10), bool).at[:, 8:].set(False)
+    xd, md = dropout_seq(jax.random.PRNGKey(3), x, mask, dropout=0.5)
+    assert xd.shape == (3, 5, 4)
+    assert md.all()  # padding dropped first → all kept items are real
