@@ -159,6 +159,7 @@ class ParallelMLPAttention(nn.Module):
     attention_mode: str = "scaled_dot_product"
     backend: str = "auto"
     packed_threshold: int = 8
+    fused_temporal: bool = False
     reference_init: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -179,37 +180,79 @@ class ParallelMLPAttention(nn.Module):
         mlp_hidden = int(d * self.mlp_ratio)
         kinit = inits.attn_kernel_init if self.reference_init else torch_linear_init
 
-        fused = nn.Dense(
-            3 * d + mlp_hidden, kernel_init=kinit, dtype=self.dtype, name="linear1"
-        )(x)
-        qkv, mlp = jnp.split(fused, [3 * d], axis=-1)
-        q = qkv[..., :d]
-        k = qkv[..., d : 2 * d]
-        v = qkv[..., 2 * d :]
+        # One fused linear1 parameter (reference ParallelMLPAttentionV2), but
+        # applied as four matmuls on weight slices: slicing the [N, 2688]
+        # activation into q/k/v/mlp materializes three ~50MB copies per block
+        # (profiled ~0.8ms each at B=32); slicing the weight is free.
+        w1 = self.param(
+            "linear1",
+            lambda key, shape: kinit(key, shape, jnp.float32),
+            (x.shape[-1], 3 * d + mlp_hidden),
+        )
+        b1 = self.param("linear1_bias", inits.zeros, (3 * d + mlp_hidden,), jnp.float32)
+        w1 = w1.astype(self.dtype)
+        b1 = b1.astype(self.dtype)
+        xd = x.astype(self.dtype)
+
+        def proj(lo, hi):
+            return jax.lax.dot_general(
+                xd, w1[:, lo:hi], (((xd.ndim - 1,), (0,)), ((), ()))
+            ) + b1[lo:hi]
+
+        q = proj(0, d)
+        k = proj(d, 2 * d)
+        v = proj(2 * d, 3 * d)
+        mlp = proj(3 * d, 3 * d + mlp_hidden)
 
         # QKNorm (per-head RMS, scale [dh] shared across heads) in packed lanes
         q_scale = self.param("q_norm_scale", nn.initializers.ones, (dh,), jnp.float32)
         k_scale = self.param("k_norm_scale", nn.initializers.ones, (dh,), jnp.float32)
-        q = packed_rmsnorm(q, h, q_scale)
-        k = packed_rmsnorm(k, h, k_scale)
-        if cos is not None:
-            cos_l, sin_l = lane_rope_tables(cos, sin, h)
-            q = packed_rope(q, cos_l, sin_l)
-            k = packed_rope(k, cos_l, sin_l)
 
         b, n = x.shape[0], x.shape[1]
-        if self.attention_mode != "linear" and n <= self.packed_threshold:
-            attn = packed_small_attention(q, k, v, h, scale=self.qk_scale)
-        else:
-            def to_heads(t):
-                return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        scale = self.qk_scale if self.qk_scale is not None else dh**-0.5
+        long_axis = self.attention_mode != "linear" and n > self.packed_threshold
+        if long_axis and cos is not None and self.fused_temporal:
+            # Experimental packed-layout attention kernel (opt-in): avoids
+            # head-major copies but the per-head VMEM budget forces small
+            # query blocks — measured slower than the head-major flash at
+            # the 4AA shapes, kept for larger-head-dim configurations.
+            from lam_slide_tpu.ops.fused_temporal_attention import (
+                _reference_packed,
+                fused_temporal_attention,
+            )
 
-            qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
-            if self.attention_mode == "linear":
-                ah = linear_attention(qh, kh, vh)
+            cos_l, sin_l = lane_rope_tables(cos, sin, h)
+            qs_l = jnp.tile(q_scale, (h,))[None]
+            ks_l = jnp.tile(k_scale, (h,))[None]
+            if jax.default_backend() == "tpu":
+                attn = fused_temporal_attention(
+                    q, k, v, cos_l, sin_l, qs_l, ks_l, h, float(scale)
+                )
             else:
-                ah = dot_product_attention(qh, kh, vh, scale=self.qk_scale, backend=self.backend)
-            attn = ah.transpose(0, 2, 1, 3).reshape(b, n, d)
+                attn = _reference_packed(
+                    q, k, v, cos_l, sin_l, qs_l, ks_l, h, float(scale), 1e-6
+                )
+        else:
+            q = packed_rmsnorm(q, h, q_scale)
+            k = packed_rmsnorm(k, h, k_scale)
+            if cos is not None:
+                cos_l, sin_l = lane_rope_tables(cos, sin, h)
+                q = packed_rope(q, cos_l, sin_l)
+                k = packed_rope(k, cos_l, sin_l)
+            if self.attention_mode != "linear" and n <= self.packed_threshold:
+                attn = packed_small_attention(q, k, v, h, scale=self.qk_scale)
+            else:
+                def to_heads(t):
+                    return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+
+                qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+                if self.attention_mode == "linear":
+                    ah = linear_attention(qh, kh, vh)
+                else:
+                    ah = dot_product_attention(
+                        qh, kh, vh, scale=self.qk_scale, backend=self.backend
+                    )
+                attn = ah.transpose(0, 2, 1, 3).reshape(b, n, d)
 
         out = jnp.concatenate([attn, nn.gelu(mlp, approximate=False)], axis=-1)
         return nn.Dense(d, kernel_init=kinit, bias_init=inits.zeros, dtype=self.dtype, name="linear2")(out)

@@ -85,15 +85,31 @@ def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=1024):
     """
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, _round_up(nq, 128))
-    block_k = min(block_k, _round_up(nk, 128))
-    pq = _round_up(nq, block_q)
-    pk = _round_up(nk, block_k)
+    # Full-dim blocks satisfy Mosaic's tiling rule even at odd lengths, so
+    # when the whole axis fits one block we skip sequence padding entirely —
+    # profiled ~0.8ms per padded tensor per layer otherwise.
+    if nq <= block_q:
+        block_q, pq = nq, nq
+    else:
+        block_q = min(block_q, _round_up(nq, 128))
+        pq = _round_up(nq, block_q)
+    if nk <= block_k:
+        block_k, pk = nk, nk
+    else:
+        block_k = min(block_k, _round_up(nk, 128))
+        pk = _round_up(nk, block_k)
     dp = d if d % 2 == 0 else d + 1  # keep lane pairs even; no 128 padding
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pq - nq), (0, dp - d))).reshape(b * h, pq, dp)
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pk - nk), (0, dp - d))).reshape(b * h, pk, dp)
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk - nk), (0, dp - d))).reshape(b * h, pk, dp)
+    def prep(t, pn):
+        if pn == t.shape[2] and dp == d:
+            return t.reshape(b * h, pn, d)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, pn - t.shape[2]), (0, dp - d))).reshape(
+            b * h, pn, dp
+        )
+
+    qp = prep(q, pq)
+    kp = prep(k, pk)
+    vp = prep(v, pk)
     biasp = jnp.pad(bias, ((0, 0), (0, pk - nk)))[:, None, :]  # [B, 1, pk]
 
     grid = (b * h, pq // block_q)

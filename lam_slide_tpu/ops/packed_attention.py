@@ -78,7 +78,8 @@ def packed_rmsnorm(
 ) -> jnp.ndarray:
     """Per-head RMSNorm in packed lanes (QKNorm semantics, fp32 stats).
 
-    x: [..., D]; scale: [dh] learned per-lane scale shared across heads.
+    x: [..., D]; scale: [dh] learned per-lane scale shared across heads,
+    or an already-tiled [D] lane scale.
     """
     d = x.shape[-1]
     dh = d // n_heads
@@ -86,7 +87,8 @@ def packed_rmsnorm(
     x32 = x.astype(jnp.float32)
     ms = (x32 * x32) @ s / dh  # [..., H]
     rr = jax.lax.rsqrt(ms + eps) @ s.T  # broadcast back to lanes
-    scale_l = jnp.tile(scale.astype(jnp.float32), (n_heads,))
+    scale = scale.astype(jnp.float32)
+    scale_l = scale if scale.shape[-1] == d else jnp.tile(scale, (n_heads,))
     return (x32 * rr * scale_l).astype(x.dtype)
 
 

@@ -36,6 +36,12 @@ def main(argv=None):
     parser.add_argument("--molecule", default="all", help="md17: molecule or 'all'")
     parser.add_argument("--scene", default="score", help="nba: score|rebound")
     parser.add_argument(
+        "--set", dest="overrides", action="append", default=[],
+        metavar="KEY=VALUE",
+        help="override TrainerConfig fields (e.g. --set lr=2e-4 --set max_epochs=100) "
+             "— the Hydra-style command-line override surface",
+    )
+    parser.add_argument(
         "--test", action="store_true",
         help="after training, run the domain test protocol on the eval loaders "
              "(mean-K ADE/FDE for md17; per-entity min-K [+FPC] for pedestrian/nba)",
@@ -75,6 +81,20 @@ def main(argv=None):
     )
     if args.epochs is not None:
         exp.trainer_cfg.max_epochs = args.epochs
+    for item in args.overrides:
+        key, _, raw = item.partition("=")
+        if not hasattr(exp.trainer_cfg, key):
+            raise SystemExit(f"--set: unknown TrainerConfig field {key!r}")
+        cur = getattr(exp.trainer_cfg, key)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(float(raw))
+        elif isinstance(cur, float) or cur is None:
+            val = float(raw)
+        else:
+            val = raw
+        setattr(exp.trainer_cfg, key, val)
 
     mesh = None
     if not args.no_mesh and jax.device_count() > 1:
