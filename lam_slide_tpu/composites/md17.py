@@ -152,6 +152,10 @@ class MD17SecondStageConfig:
     n_classes: int = 8
     vec_in_dim: int = 256
     reference_init: bool = False  # md17 config sets reset_parameters: False
+    # remat the DiT layers: with L=192 latent tokens the stored activations
+    # of a depth-4/hidden-256 DiT exceed a v5e's 16 GB HBM at the reference
+    # batch size (measured 35.9 GB); recompute costs ~1/3 extra FLOPs.
+    checkpointing: bool = True
 
 
 def build_md17_second_stage(
@@ -174,6 +178,7 @@ def build_md17_second_stage(
         n_timesteps=cfg.num_timesteps,
         vec_in_dim=cfg.vec_in_dim if cfg.class_conditional else None,
         reference_init=cfg.reference_init,
+        checkpointing=cfg.checkpointing,
         dtype=dtype,
     )
     backbone = (

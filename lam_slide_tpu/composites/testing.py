@@ -99,7 +99,7 @@ def evaluate_min_k(
             rng, key = jax.random.split(rng)
             preds = sample_k(params, fs_variables, batch, key)
             pred_k = preds[pos_key][:, :, cond_end:]
-            ade, fde = metric(pred_k[:num_runs], true_pos, emask)
+            ade, fde = metric(pred_k, true_pos, emask)  # min over first num_runs
             accum["ade"].append(float(ade))
             accum["fde"].append(float(fde))
             if post_process:

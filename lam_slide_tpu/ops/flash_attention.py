@@ -156,11 +156,40 @@ def _core_fwd(q, k, v, bias, scale):
     return _flash_forward(q, k, v, bias, scale), (q, k, v, bias)
 
 
+# Backward recompute materializes [chunk, H, Nq, Nk] fp32 logits; cap that
+# buffer (~1 GB) by splitting the batch axis — a full-size MD17 stage-2
+# step (B'=1920, N=192) otherwise needs >16 GB of HBM for the logits alone.
+_BWD_LOGITS_BUDGET = 2**28  # fp32 elements per chunk (~1 GB)
+
+
 def _core_bwd(scale, res, g):
     q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention_with_bias(q_, k_, v_, bias, scale), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    b, h, nq, _ = q.shape
+    nk = k.shape[2]
+    per_item = h * nq * nk
+    chunk = max(1, min(b, _BWD_LOGITS_BUDGET // max(per_item, 1)))
+
+    def chunk_vjp(args):
+        qc, kc, vc, biasc, gc = args
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_attention_with_bias(q_, k_, v_, biasc, scale),
+            qc, kc, vc,
+        )
+        return vjp(gc)
+
+    if chunk >= b:
+        dq, dk, dv = chunk_vjp((q, k, v, bias, g))
+        return dq, dk, dv, None
+
+    pad = (-b) % chunk
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+        return x.reshape(-1, chunk, *x.shape[1:])
+
+    dq, dk, dv = jax.lax.map(chunk_vjp, tuple(prep(x) for x in (q, k, v, bias, g)))
+    unprep = lambda x, ref: x.reshape(-1, *ref.shape[1:])[:b]
+    return unprep(dq, q), unprep(dk, k), unprep(dv, v), None
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)

@@ -73,3 +73,21 @@ def test_scale_override():
     out = flash_attention(q, k, v, scale=0.5)
     ref = xla_attention(q, k, v, scale=0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_chunked_backward_matches_direct():
+    """Force the batch-chunked backward path and compare to the XLA grads."""
+    import lam_slide_tpu.ops.flash_attention as fa
+
+    q, k, v = _inputs(jax.random.PRNGKey(10), b=5, nq=40, nk=40, d=16)
+    old = fa._BWD_LOGITS_BUDGET
+    try:
+        fa._BWD_LOGITS_BUDGET = 4 * 40 * 40 * 2  # chunk = 2 (with b=5 → padding)
+        gf = jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa._BWD_LOGITS_BUDGET = old
+    gx = jax.grad(lambda q, k, v: jnp.sum(xla_attention(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
