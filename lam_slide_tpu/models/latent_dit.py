@@ -266,6 +266,7 @@ class LatentDiTLayer(nn.Module):
     mlp_ratio: float = 2.0
     attention_mode: str = "scaled_dot_product"
     backend: str = "auto"
+    packed_threshold: int = 8
     reference_init: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -280,26 +281,18 @@ class LatentDiTLayer(nn.Module):
             name="modulation",
         )(vec)
 
-        spatial = ParallelMLPAttention(
+        common = dict(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             backend=self.backend,
+            packed_threshold=self.packed_threshold,
             reference_init=self.reference_init,
             dtype=self.dtype,
-            name="spatial_block",
         )
-        temporal = ParallelMLPAttention(
-            hidden_size=self.hidden_size,
-            num_heads=self.num_heads,
-            mlp_ratio=self.mlp_ratio,
-            attention_mode=self.attention_mode,
-            backend=self.backend,
-            reference_init=self.reference_init,
-            dtype=self.dtype,
-            name="temporal_block",
-        )
+        spatial = ParallelMLPAttention(**common, name="spatial_block")
+        temporal = ParallelMLPAttention(**common, name="temporal_block")
 
         h = modulate(layer_norm(x, eps=1e-6), mod1.shift, mod1.scale)
         h = spatial(h.reshape(b * t, l, d), sp_cos, sp_sin).reshape(b, t, l, d)
@@ -335,6 +328,7 @@ class LatentDiT(nn.Module):
     share_weights: bool = False
     reference_init: bool = True
     backend: str = "auto"
+    packed_threshold: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -388,6 +382,7 @@ class LatentDiT(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             backend=self.backend,
+            packed_threshold=self.packed_threshold,
             reference_init=self.reference_init,
             dtype=self.dtype,
         )
