@@ -157,9 +157,12 @@ def _core_fwd(q, k, v, bias, scale):
 
 
 # Backward recompute materializes [chunk, H, Nq, Nk] fp32 logits; cap that
-# buffer (~1 GB) by splitting the batch axis — a full-size MD17 stage-2
-# step (B'=1920, N=192) otherwise needs >16 GB of HBM for the logits alone.
-_BWD_LOGITS_BUDGET = 2**28  # fp32 elements per chunk (~1 GB)
+# buffer by splitting the batch axis — a full-size MD17 stage-2 step
+# (B'=1920, N=192) otherwise needs >16 GB of HBM for the logits alone.
+# The cap is generous (~2 GB) because chunking itself costs real time:
+# lax.map lowers to while + dynamic-update-slice (~230 ms on the peptide
+# stage-2 step when it split into just two chunks).
+_BWD_LOGITS_BUDGET = 2**29  # fp32 elements per chunk (~2 GB)
 
 
 def _core_bwd(scale, res, g):
