@@ -11,8 +11,15 @@ The reference publishes no A100 number ("published": {}), so vs_baseline is
 reported against an analytic A100 anchor: this architecture is small-op
 dominated (L=2 spatial axis, hidden 384 — tiny matmuls between layout
 ops), a regime where compiled torch on A100 sustains ~5% MFU; the anchor is
-312 TFLOP/s x 5% / FLOPs-per-drift-eval x batch. vs_baseline = measured /
-anchor, i.e. >1 means faster than a well-compiled A100 reference run.
+sustained FLOP/s divided by FLOPs per trajectory-step:
+    anchor = 312 TFLOP/s x 5% / (linear-matmul FLOPs per traj drift eval),
+i.e. ~236 traj-ODE-steps/s regardless of batch (batching is already what
+lets the GPU sustain that MFU; an earlier revision multiplied by batch,
+which modeled an A100 at 40% MFU on a latency-bound model — corrected).
+The anchor is generous to the baseline: it prices only the linear matmuls,
+ignoring the O(T^2) attention FLOPs and all layout/softmax work.
+vs_baseline = measured / anchor, >1 means faster than a well-compiled
+A100 reference run.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -79,8 +86,8 @@ def main():
     # analytic A100 estimate (see module docstring)
     flops_per_eval = 2 * 7 * (  # 7 layers, 2 blocks each (spatial+temporal)
         2 * (T * L) * (3 * 384 + 768) * 384 + 2 * (T * L) * 384 * (384 + 768)
-    )  # linear1 + linear2 matmul FLOPs, attention negligible at L=2
-    a100_estimate = 312e12 * 0.05 / flops_per_eval * B
+    )  # linear1 + linear2 matmul FLOPs per trajectory; attention excluded
+    a100_estimate = 312e12 * 0.05 / flops_per_eval  # traj-steps/s, batch-invariant
     vs = steps_per_sec / a100_estimate
     print(json.dumps({
         "metric": "4aa_latent_ode_sampler_steps_per_sec_per_chip",

@@ -28,44 +28,87 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k, seq_len):
+def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias):
     """One (bh, q-block) program: iterate key blocks with running softmax.
 
     q_ref: [1, block_q, d]; k_ref/v_ref: [1, padded_n, d];
-    bias_ref: [1, padded_n]; o_ref: [1, block_q, d].
+    bias_ref (only when ``has_bias``): [1, 1, padded_n]; o_ref: [1, block_q, d].
+
+    Numerics: matmuls take the input dtype (bf16 in production) with fp32
+    MXU accumulation (``preferred_element_type``); logits, softmax statistics
+    and the output accumulator are fp32; attention weights are cast to the
+    value dtype for the AV matmul — matching ops.attention.xla_attention
+    (which also runs ``softmax(fp32).astype(v.dtype) @ v``).
+
+    VPU economy: the padding-key mask is applied only to the final key block
+    and only when the sequence was actually padded, and the bias row is an
+    input (and an add pass over the logits) only when a mask was supplied —
+    each avoided pass is a full [block_q, block_k] fp32 op per program,
+    ~20% of kernel time at the DiT's temporal shapes.
     """
+    bias_ref = rest[0] if has_bias else None
+    o_ref = rest[-1]
     _, block_q, d = q_ref.shape
     padded_n = k_ref.shape[1]
     num_kb = padded_n // block_k
+    v_dtype = v_ref.dtype
 
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0]
 
-    def body(kb, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    def logits(kb, masked):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_k]
-        # additive mask: padding keys (>= seq_len) and user bias
-        key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(key_idx < seq_len, s, _NEG_INF)
-        s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        ) * scale  # [block_q, block_k] fp32
+        if masked:  # padding keys (>= seq_len) get -inf logits
+            key_idx = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(key_idx < seq_len, s, _NEG_INF)
+        if has_bias:
+            s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        return s
 
+    def av(p, kb):
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        return jax.lax.dot_general(
+            p.astype(v_dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if num_kb == 1:
+        # Whole key axis in one block (the factorized-DiT common case):
+        # plain fp32 softmax, no running-statistics machinery.
+        s = logits(0, masked=padded_n != seq_len)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0] = (av(p, 0) / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
+    def step(kb, carry, masked):
+        m_prev, l_prev, acc = carry
+        s = logits(kb, masked)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        acc = acc * alpha + av(p, kb)
         return m_new, l_new, acc
 
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc0 = jnp.zeros((block_q, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    # Only the last key block can contain sequence padding: run the clean
+    # blocks without the iota/where pass, then the final block with it.
+    full_kb = num_kb if padded_n == seq_len else num_kb - 1
+    carry = jax.lax.fori_loop(
+        0, full_kb, lambda kb, c: step(kb, c, masked=False), (m0, l0, acc0)
+    )
+    if full_kb != num_kb:
+        carry = step(num_kb - 1, carry, masked=True)
+    _, l, acc = carry
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -75,7 +118,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=1024):
-    """q,k,v: [B, H, N, D]; bias: [B, Nk] additive fp32. -> [B, H, N, D].
+    """q,k,v: [B, H, N, D]; bias: [B, Nk] additive fp32 or None. -> [B, H, N, D].
 
     block_q defaults high: each (bh, q-block) program re-reads the full K/V
     panel, so fewer q-blocks = less HBM traffic; VMEM stays comfortable up
@@ -110,31 +153,37 @@ def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=1024):
     qp = prep(q, pq)
     kp = prep(k, pk)
     vp = prep(v, pk)
-    biasp = jnp.pad(bias, ((0, 0), (0, pk - nk)))[:, None, :]  # [B, 1, pk]
+    has_bias = bias is not None
+    operands = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((1, block_q, dp), lambda bh, i: (bh, i, 0)),
+        pl.BlockSpec((1, pk, dp), lambda bh, i: (bh, 0, 0)),
+        pl.BlockSpec((1, pk, dp), lambda bh, i: (bh, 0, 0)),
+    ]
+    if has_bias:
+        operands.append(jnp.pad(bias, ((0, 0), (0, pk - nk)))[:, None, :])  # [B, 1, pk]
+        in_specs.append(pl.BlockSpec((1, 1, pk), lambda bh, i: (bh // h, 0, 0)))
 
     grid = (b * h, pq // block_q)
     # CPU (tests, virtual meshes): run the kernel through the interpreter —
     # same program, python-speed; the compiled path needs a real TPU.
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_len=nk),
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, seq_len=nk, has_bias=has_bias
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, pq, dp), q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, pk, dp), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, pk, dp), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, 1, pk), lambda bh, i: (bh // h, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, dp), lambda bh, i: (bh, i, 0)),
         interpret=interpret,
-    )(qp, kp, vp, biasp)
+    )(*operands)
     return out.reshape(b, h, pq, dp)[:, :, :nq, :d]
 
 
-def _mask_to_bias(mask: Optional[jnp.ndarray], b: int, nk: int) -> jnp.ndarray:
+def _mask_to_bias(mask: Optional[jnp.ndarray], b: int, nk: int) -> Optional[jnp.ndarray]:
     if mask is None:
-        return jnp.zeros((b, nk), jnp.float32)
+        return None  # statically drops the bias input + add pass in the kernel
     if mask.ndim != 2:
         raise ValueError("flash_attention supports key-padding masks [B, Nk] only")
     return jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
@@ -147,7 +196,9 @@ def _flash_attention_core(q, k, v, bias, scale):
 
 def _xla_attention_with_bias(q, k, v, bias, scale):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * scale + bias[:, None, None, :]
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias[:, None, None, :]
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
@@ -173,15 +224,17 @@ def _core_bwd(scale, res, g):
     chunk = max(1, min(b, _BWD_LOGITS_BUDGET // max(per_item, 1)))
 
     def chunk_vjp(args):
-        qc, kc, vc, biasc, gc = args
+        qc, kc, vc, gc = args[0], args[1], args[2], args[-1]
+        biasc = args[3] if len(args) == 5 else None
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _xla_attention_with_bias(q_, k_, v_, biasc, scale),
             qc, kc, vc,
         )
         return vjp(gc)
 
+    operands = (q, k, v, g) if bias is None else (q, k, v, bias, g)
     if chunk >= b:
-        dq, dk, dv = chunk_vjp((q, k, v, bias, g))
+        dq, dk, dv = chunk_vjp(operands)
         return dq, dk, dv, None
 
     pad = (-b) % chunk
@@ -190,7 +243,7 @@ def _core_bwd(scale, res, g):
             x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
         return x.reshape(-1, chunk, *x.shape[1:])
 
-    dq, dk, dv = jax.lax.map(chunk_vjp, tuple(prep(x) for x in (q, k, v, bias, g)))
+    dq, dk, dv = jax.lax.map(chunk_vjp, tuple(prep(x) for x in operands))
     unprep = lambda x, ref: x.reshape(-1, *ref.shape[1:])[:b]
     return unprep(dq, q), unprep(dk, k), unprep(dv, v), None
 
