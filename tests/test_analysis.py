@@ -212,6 +212,46 @@ class TestPlots:
         assert (tmp_path / "summary.png").exists()
         plt.close("all")
 
+    def test_reference_gallery_renders(self):
+        """The plots ported from reference plots.py/plotting.py (grid/dual
+        Ramachandran, tic2d maxima, free-energy comparison, 3D comparisons,
+        density clouds/channels, pedestrian scene)."""
+        import matplotlib.pyplot as plt
+
+        from lam_slide_tpu.analysis import plots
+
+        rng = np.random.default_rng(0)
+        phi3 = rng.uniform(-np.pi, np.pi, (400, 3))
+        psi3 = rng.uniform(-np.pi, np.pi, (400, 3))
+        fig = plots.ramachandran_grid((phi3, psi3), show_initial=True)
+        assert len(fig.axes) == 3  # three interior residue pairs
+        fig1 = plots.ramachandran_grid((phi3[:, 0], psi3[:, 0]))
+        assert len(fig1.axes) >= 1
+        with pytest.raises(NotImplementedError):
+            plots.ramachandran_grid((phi3[:, :2], psi3[:, :2]))
+        plots.dual_ramachandran((phi3[:, 0], psi3[:, 0]), (phi3[:, 1], psi3[:, 1]))
+
+        t0 = np.concatenate([rng.standard_normal(800) - 2, rng.standard_normal(800) + 2])
+        t1 = rng.standard_normal(1600)
+        plots.tic2d_comparison(t0, t1, t0[:200], t1[:200])
+        ax = plots.free_energy_comparison(t0, t0 + 0.1)
+        assert len(ax.lines) == 2  # MD solid + model dashed
+
+        plots.scatter_3d_comparison(
+            rng.standard_normal((12, 3)), ["C", "N", "O"] * 4,
+            rng.standard_normal((12, 3)), ["C", "N", "O"] * 4,
+        )
+        pts = rng.uniform(0, 1, (300, 3))
+        plots.density_point_cloud(pts, rng.uniform(0, 1, 300),
+                                  atoms_pos=pts[:4], atom_types=list("CNOS"))
+        fig = plots.density_channels(
+            pts, {"C": rng.uniform(0, 1, 300), "N": rng.uniform(0, 1, 300),
+                  "O": rng.uniform(0, 1, 300)})
+        assert len(fig.axes) == 3
+        plots.pedestrian_trajectory(rng.standard_normal((20, 6, 2)).cumsum(0),
+                                    title="scene")
+        plt.close("all")
+
 
 class TestTPSAndAUROC:
     def test_sample_tp_bridges(self):
