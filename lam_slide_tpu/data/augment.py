@@ -23,6 +23,23 @@ def random_rotation_matrix(rng: np.random.Generator) -> np.ndarray:
     return (rz @ ry @ rx).astype(np.float32)
 
 
+def random_rotation_matrices(rng: np.random.Generator, b: int) -> np.ndarray:
+    """[b, 3, 3] batch of Euler rotations Rz(θ)Ry(φ)Rx(ψ) — vectorized
+    random_rotation_matrix (same per-matrix distribution, batched draws)."""
+    theta = 2 * np.pi * rng.random(b)
+    phi = np.arccos(2 * rng.random(b) - 1)
+    psi = 2 * np.pi * rng.random(b)
+    ct, st = np.cos(theta), np.sin(theta)
+    cp, sp = np.cos(phi), np.sin(phi)
+    cs, ss = np.cos(psi), np.sin(psi)
+    z = np.zeros(b)
+    o = np.ones(b)
+    rz = np.stack([ct, -st, z, st, ct, z, z, z, o], -1).reshape(b, 3, 3)
+    ry = np.stack([cp, z, sp, z, o, z, -sp, z, cp], -1).reshape(b, 3, 3)
+    rx = np.stack([o, z, z, z, cs, -ss, z, ss, cs], -1).reshape(b, 3, 3)
+    return (rz @ ry @ rx).astype(np.float32)
+
+
 def random_rotation_matrix_2d(rng: np.random.Generator) -> np.ndarray:
     theta = 2 * np.pi * rng.random()
     c, s = np.cos(theta), np.sin(theta)

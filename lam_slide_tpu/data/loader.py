@@ -66,11 +66,21 @@ class Loader:
         self._epoch += 1
         rng = np.random.default_rng((self.seed, epoch))
 
+        # Datasets may provide a whole-batch fast path (sample_batch: gather +
+        # pad + augment + mask in a few array ops / native engine calls, see
+        # data/batch_assembly.py) — semantically equal to sample()+collate,
+        # pinned by tests; RNG streams differ, so a given seed draws different
+        # (equally distributed) augmentations on the two paths.
+        batched = getattr(self.dataset, "sample_batch", None)
+
         def produce(out_q: queue.Queue):
             try:
                 for idx_batch in self._batch_indices(rng):
-                    samples = [self.dataset.sample(int(i), rng) for i in idx_batch]
-                    batch = self.collate_fn(samples)
+                    if batched is not None:
+                        batch = batched(idx_batch, rng)
+                    else:
+                        samples = [self.dataset.sample(int(i), rng) for i in idx_batch]
+                        batch = self.collate_fn(samples)
                     if self.transform is not None:
                         batch = self.transform(batch)
                     out_q.put(batch)

@@ -23,7 +23,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from lam_slide_tpu.data.augment import random_rotation_matrix, rotate
+from lam_slide_tpu.data.augment import (random_rotation_matrices,
+                                         random_rotation_matrix, rotate)
 from lam_slide_tpu.data.loader import Dataset
 
 MOLECULE_FILES = {
@@ -136,6 +137,8 @@ class MD17Dataset(Dataset):
     synthetic_frames: int = 4000
 
     def __post_init__(self):
+        # contiguous: downsample/split slicing leaves strided views, and the
+        # whole-batch path hands raw pointers to the native engine
         self.x, self.z, self._num, self._interval = load_md17_split(
             self.root,
             self.molecule,
@@ -152,6 +155,12 @@ class MD17Dataset(Dataset):
             raise ValueError(
                 f"{self.molecule} has {self.n_atoms} atoms > num_entities {self.num_entities}"
             )
+        if not self.first_stage:
+            # whole-batch fast path picked up by the Loader (batch_assembly);
+            # contiguous copy: the split/downsample slicing leaves a strided
+            # view, and the native engine reads raw pointers
+            self.x = np.ascontiguousarray(self.x, np.float32)
+            self.sample_batch = self._sample_batch_temporal
 
     def __len__(self) -> int:
         return self._num
@@ -184,4 +193,51 @@ class MD17Dataset(Dataset):
             "atom": np.broadcast_to(self.z, (self.span, self.n_atoms)).copy(),
             "cond_molecule": self.cond_index,
             "entities": np.broadcast_to(entities, (self.span, self.n_atoms)).copy(),
+        }
+
+    def _sample_batch_temporal(self, idx_batch, rng: np.random.Generator):
+        """Whole-batch stage-2 assembly — same output as sample() +
+        pad_collate_temporal (pinned by tests): gather windows, frame-0
+        center over real atoms, shift/scale + rotation (+translation),
+        broadcast atom/entity ids, exact mask."""
+        from lam_slide_tpu.data import batch_assembly as ba
+
+        idxs = np.asarray(idx_batch, dtype=np.int64)
+        b = len(idxs)
+        t, n, n_pad = self.span, self.n_atoms, self.num_entities
+        starts = idxs * self._interval
+        n_real = np.full((b,), n, np.int64)
+
+        from lam_slide_tpu import native
+
+        if native.available():  # one shared source buffer -> one pointer
+            pos = ba.gather_pad_f32(
+                None, starts, t, n_pad, n_src=n_real, c=3,
+                src_ptrs=np.full((b,), self.x.ctypes.data, np.uintp),
+            )
+        else:
+            pos = ba.gather_pad_f32([self.x] * b, starts, t, n_pad)
+        ba.center_frame0(pos, n_real)  # md17.py:103, before normalization
+        rots = None
+        if self.rand_rotation:
+            rots = random_rotation_matrices(rng, b)
+        trans = (
+            (rng.standard_normal((b, 3)) * self.rand_translation).astype(np.float32)
+            if self.rand_translation is not None
+            else None
+        )
+        ba.rotate_batch(pos, rots, trans, shift=self.shift, scale=self.scale,
+                        n_real=n_real)
+
+        atom = ba.broadcast_pad_rows(
+            np.broadcast_to(np.pad(self.z, (0, n_pad - n)), (b, n_pad)),
+            np.full((b,), n), t, n_pad)
+        perms = np.pad(ba.permutations_batch(rng, b, n_pad, n), ((0, 0), (0, n_pad - n)))
+        entities = ba.broadcast_pad_rows(perms, np.full((b,), n), t, n_pad)
+        return {
+            "pos": pos,
+            "atom": atom,
+            "cond_molecule": np.full((b,), self.cond_index, np.int64),
+            "entities": entities,
+            "attention_mask": ba.attention_mask(n_real, t, n_pad),
         }

@@ -1,0 +1,85 @@
+"""Native host-side batch engine (C++ via ctypes).
+
+``lib()`` returns the loaded shared library, compiling
+``batch_engine.cc`` with g++ on first use (cached beside the source in
+``_build/``; rebuilt when the source changes). Returns None — and every
+caller falls back to vectorized numpy — when no compiler is available or
+``LAM_SLIDE_NO_NATIVE=1`` is set, so the TPU training path never *requires*
+a host toolchain.
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "batch_engine.cc")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i64 = ctypes.c_int64
+_f32p = ctypes.POINTER(ctypes.c_float)
+_i64p = ctypes.POINTER(_i64)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_f32pp = ctypes.POINTER(_f32p)
+_i64pp = ctypes.POINTER(_i64p)
+
+_SIGNATURES = {
+    "gather_pad_f32": [_f32pp, _i64p, _i64p, _i64, _i64, _i64, _i64, _f32p],
+    "gather_pad_i64": [_i64pp, _i64p, _i64p, _i64, _i64, _i64, _i64p],
+    "broadcast_pad_i64": [_i64pp, _i64p, _i64, _i64, _i64, _i64p],
+    "rotate_batch_f32": [_f32p, _f32p, _f32p, _i64p, ctypes.c_float,
+                         ctypes.c_float, _i64, _i64, _i64, _i64],
+    "center_frame0_f32": [_f32p, _i64p, _i64, _i64, _i64, _i64],
+    "mask_fill_u8": [_u8p, _i64p, _i64, _i64, _i64],
+    "team_flip_i64": [_i64p, _u8p, _i64, _i64],
+}
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_BUILD_DIR, f"batch_engine_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so_path + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    os.replace(so_path + ".tmp", so_path)
+    return so_path
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The loaded engine, or None when unavailable/disabled."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LAM_SLIDE_NO_NATIVE") == "1":
+            return None
+        so_path = _build()
+        if so_path is None:
+            return None
+        cdll = ctypes.CDLL(so_path)
+        for name, argtypes in _SIGNATURES.items():
+            fn = getattr(cdll, name)
+            fn.argtypes = argtypes
+            fn.restype = None
+        _lib = cdll
+    return _lib
+
+
+def available() -> bool:
+    return lib() is not None

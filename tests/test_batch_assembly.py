@@ -1,0 +1,202 @@
+"""Whole-batch assembly: native C++ engine vs numpy fallback vs per-sample path.
+
+The Loader prefers Dataset.sample_batch when present (data/loader.py); these
+tests pin that fast path to the per-sample ``sample`` + pad_collate_temporal
+semantics, and the C++ engine (lam_slide_tpu/native) to the numpy fallback.
+"""
+
+import numpy as np
+import pytest
+
+from lam_slide_tpu import native
+from lam_slide_tpu.data import batch_assembly as ba
+from lam_slide_tpu.data.collate import pad_collate_temporal
+from lam_slide_tpu.data.loader import Loader
+from lam_slide_tpu.data.md17 import MD17Dataset
+from lam_slide_tpu.data.nba import NBADataset
+
+HAS_NATIVE = native.available()
+
+
+@pytest.fixture(params=["native", "numpy"] if HAS_NATIVE else ["numpy"])
+def engine(request, monkeypatch):
+    if request.param == "numpy":
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", True)
+    return request.param
+
+
+class TestPrimitives:
+    def test_gather_pad_f32(self, engine):
+        rng = np.random.default_rng(0)
+        srcs = [rng.standard_normal((20, n, 3)).astype(np.float32) for n in (4, 6, 5)]
+        starts = [2, 0, 7]
+        out = ba.gather_pad_f32(srcs, starts, span=8, n_pad=6)
+        assert out.shape == (3, 8, 6, 3)
+        for i, (s, st) in enumerate(zip(srcs, starts)):
+            n = s.shape[1]
+            np.testing.assert_array_equal(out[i, :, :n], s[st : st + 8])
+            assert not out[i, :, n:].any()
+
+    def test_gather_pad_i64(self, engine):
+        rng = np.random.default_rng(1)
+        srcs = [rng.integers(0, 9, (15, n)).astype(np.int64) for n in (3, 5)]
+        out = ba.gather_pad_i64(srcs, [1, 4], span=6, n_pad=5)
+        np.testing.assert_array_equal(out[0, :, :3], srcs[0][1:7])
+        np.testing.assert_array_equal(out[1], srcs[1][4:10])
+        assert not out[0, :, 3:].any()
+
+    def test_broadcast_pad_i64(self, engine):
+        rows = [np.asarray([7, 3, 9], np.int64), np.asarray([1, 2], np.int64)]
+        out = ba.broadcast_pad_i64(rows, span=4, n_pad=4)
+        assert out.shape == (2, 4, 4)
+        np.testing.assert_array_equal(out[0, 2, :3], [7, 3, 9])
+        np.testing.assert_array_equal(out[1, :, :2], [[1, 2]] * 4)
+        assert not out[1, :, 2:].any()
+
+    def test_rotate_batch_matches_reference_chain(self, engine):
+        rng = np.random.default_rng(2)
+        b, t, n, c = 3, 5, 4, 3
+        pos = rng.standard_normal((b, t, n, c)).astype(np.float32)
+        pos[:, :, 3:] = 0.0  # padding
+        rots = np.stack([np.linalg.qr(rng.standard_normal((c, c)))[0] for _ in range(b)])
+        rots = rots.astype(np.float32)
+        trans = rng.standard_normal((b, c)).astype(np.float32)
+        ref = np.einsum("btnc,bdc->btnd", (pos[:, :, :3] - 0.5) / 2.0, rots) + trans[:, None, None]
+        got = ba.rotate_batch(pos.copy(), rots, trans, shift=0.5, scale=2.0,
+                              n_real=[3, 3, 3])
+        np.testing.assert_allclose(got[:, :, :3], ref, rtol=1e-5, atol=1e-5)
+        assert not got[:, :, 3:].any()  # padding untouched
+
+    def test_center_frame0(self, engine):
+        rng = np.random.default_rng(3)
+        pos = rng.standard_normal((2, 4, 5, 3)).astype(np.float32)
+        pos[:, :, 4:] = 0.0
+        ref = pos.copy()
+        for i in range(2):
+            ref[i, :, :4] -= ref[i, 0, :4].mean(axis=0)
+        got = ba.center_frame0(pos.copy(), [4, 4])
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_attention_mask(self, engine):
+        m = ba.attention_mask([2, 4], t=3, n_pad=4)
+        assert m.dtype == bool and m.shape == (2, 3, 4)
+        np.testing.assert_array_equal(m[0, 1], [True, True, False, False])
+        np.testing.assert_array_equal(m[1, 2], [True] * 4)
+
+    def test_team_flip(self, engine):
+        team = np.asarray([[[0, 1, 2, 1]], [[0, 1, 2, 2]]], np.int64)
+        got = ba.team_flip(team.copy(), [1, 0])
+        np.testing.assert_array_equal(got[0], [[0, 2, 1, 2]])
+        np.testing.assert_array_equal(got[1], team[1])
+
+    def test_permutations_batch(self, engine):
+        rng = np.random.default_rng(4)
+        p = ba.permutations_batch(rng, 16, 11, 11)
+        assert p.shape == (16, 11)
+        for row in p:
+            np.testing.assert_array_equal(np.sort(row), np.arange(11))
+
+
+def _strip_rng_dependent(batch):
+    return {k: v for k, v in batch.items() if k != "entities"}
+
+
+class TestDatasetFastPaths:
+    def test_nba_batch_matches_per_sample_no_aug(self, engine):
+        ds = NBADataset(scene="score", first_stage=False, num_frames=10,
+                        flip=False, rand_rotation=False, rand_translation=0.0,
+                        synthetic_games=4)
+        idxs = np.asarray([0, 3, 17, 25])
+        rng = np.random.default_rng(0)
+        fast = ds.sample_batch(idxs, rng)
+        samples = [ds.sample(int(i), np.random.default_rng(0)) for i in idxs]
+        ref = pad_collate_temporal(samples, ds.num_entities)
+        assert set(fast) == set(ref)
+        for k in _strip_rng_dependent(ref):
+            np.testing.assert_allclose(fast[k], ref[k], rtol=1e-6, atol=1e-6,
+                                       err_msg=k)
+        # entities: valid broadcast permutations
+        ents = fast["entities"]
+        assert (ents == ents[:, :1]).all()  # time-broadcast
+        for row in ents[:, 0]:
+            assert len(np.unique(row)) == len(row)
+
+    def test_nba_batch_augment_distributions(self, engine):
+        ds = NBADataset(scene="rebound", first_stage=False, num_frames=8,
+                        flip=True, rand_rotation=True, rand_translation=0.1,
+                        synthetic_games=4)
+        rng = np.random.default_rng(1)
+        fast = ds.sample_batch(np.arange(32), rng)
+        # rotation preserves pairwise distances within each frame
+        plain = NBADataset(scene="rebound", first_stage=False, num_frames=8,
+                           flip=False, rand_rotation=False, rand_translation=0.0,
+                           synthetic_games=4)
+        raw = plain.sample_batch(np.arange(32), np.random.default_rng(2))
+        d_fast = np.linalg.norm(fast["pos"][:, :, :1] - fast["pos"], axis=-1)
+        d_raw = np.linalg.norm(raw["pos"][:, :, :1] - raw["pos"], axis=-1)
+        np.testing.assert_allclose(d_fast, d_raw, rtol=1e-3, atol=1e-3)
+        # flips occurred in roughly half the batch but labels stay {0,1,2}
+        assert set(np.unique(fast["team"])) <= {0, 1, 2}
+
+    def test_md17_batch_matches_per_sample_no_aug(self, engine):
+        ds = MD17Dataset(molecule="benzene", mode="val", span=12,
+                         first_stage=False, rand_rotation=False,
+                         num_entities=16, scale=2.0, shift=0.1)
+        idxs = np.asarray([0, 5, 9])
+        fast = ds.sample_batch(idxs, np.random.default_rng(0))
+        samples = [ds.sample(int(i), np.random.default_rng(0)) for i in idxs]
+        ref = pad_collate_temporal(samples, ds.num_entities)
+        for k in _strip_rng_dependent(ref):
+            np.testing.assert_allclose(fast[k], ref[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+
+    def test_md17_batch_rotation_preserves_geometry(self, engine):
+        ds = MD17Dataset(molecule="ethanol", mode="val", span=6,
+                         first_stage=False, rand_rotation=True,
+                         num_entities=12)
+        fast = ds.sample_batch(np.asarray([1, 2]), np.random.default_rng(0))
+        plain = MD17Dataset(molecule="ethanol", mode="val", span=6,
+                            first_stage=False, rand_rotation=False,
+                            num_entities=12)
+        raw = plain.sample_batch(np.asarray([1, 2]), np.random.default_rng(0))
+        n = ds.n_atoms
+        d_f = np.linalg.norm(fast["pos"][:, :, :1, :] - fast["pos"][:, :, :n], axis=-1)
+        d_r = np.linalg.norm(raw["pos"][:, :, :1, :] - raw["pos"][:, :, :n], axis=-1)
+        np.testing.assert_allclose(d_f[..., :n], d_r, rtol=1e-4, atol=1e-4)
+
+    def test_loader_uses_fast_path(self, engine):
+        ds = NBADataset(scene="score", first_stage=False, num_frames=8,
+                        synthetic_games=4)
+        calls = {"n": 0}
+        orig = ds.sample_batch
+
+        def counting(idxs, rng):
+            calls["n"] += 1
+            return orig(idxs, rng)
+
+        ds.sample_batch = counting
+        # collate_fn=None: the per-sample path would crash — consuming a batch
+        # proves the Loader routed through sample_batch (the prefetch thread
+        # may assemble more than one batch ahead).
+        loader = Loader(ds, batch_size=8, collate_fn=None, seed=0)
+        batch = next(iter(loader))
+        assert calls["n"] >= 1
+        assert batch["pos"].shape == (8, 8, 11, 2)
+        assert batch["attention_mask"].all()
+
+
+@pytest.mark.skipif(not HAS_NATIVE, reason="no host compiler")
+def test_native_vs_numpy_identical():
+    """Same inputs through both engines — byte-identical outputs."""
+    rng = np.random.default_rng(7)
+    srcs = [rng.standard_normal((30, n, 2)).astype(np.float32) for n in (7, 11, 9)]
+    starts = [0, 10, 3]
+    a = ba.gather_pad_f32(srcs, starts, 12, 11)
+
+    real_lib, native._lib, native._tried = native._lib, None, True
+    try:
+        b = ba.gather_pad_f32(srcs, starts, 12, 11)
+    finally:
+        native._lib, native._tried = real_lib, True
+    np.testing.assert_array_equal(a, b)
