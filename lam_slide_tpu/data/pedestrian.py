@@ -92,6 +92,12 @@ class PedestrianDataset(Dataset):
             raise ValueError(f"scene frames {self.data.shape[2]} < past+future {t}")
         self.n_frames = t
         self.cond_index = np.int64(SCENE_COND_INDICES[self.scene])
+        if not self.first_stage:
+            # whole-batch fast path picked up by the Loader: the split is one
+            # dense [S, N_max, T, 2] array, so assembly is a fancy-index +
+            # transpose + one rotate_batch call (flips compose into the
+            # rotation as row sign scalings)
+            self.sample_batch = self._sample_batch_temporal
 
     def __len__(self) -> int:
         return self.data.shape[0]
@@ -124,4 +130,59 @@ class PedestrianDataset(Dataset):
             "pos": pos,
             "cond_scene": self.cond_index,
             "entities": np.broadcast_to(entities, (self.n_frames, n)).copy(),
+        }
+
+    def _sample_batch_temporal(self, idx_batch, rng: np.random.Generator):
+        """Whole-batch stage-2 assembly — identical output format/semantics to
+        sample() + pad_collate_temporal (pinned by tests).
+
+        The per-sample chain is (p - shift)/scale -> R -> flips -> +t; the
+        flips are diagonal sign matrices, so D·(R p) + t folds into
+        rotate_batch with R' = D R (rows sign-scaled) and t drawn after."""
+        from lam_slide_tpu.data import batch_assembly as ba
+
+        idxs = np.asarray(idx_batch, dtype=np.int64)
+        b = len(idxs)
+        t, n_pad = self.n_frames, self.num_entities
+        n_real = self.counts[idxs].astype(np.int64)
+
+        # [B, N_max, T, 2] -> [B, T, N_max, 2] contiguous; rows beyond the
+        # true agent count are zeroed (raw files may carry junk there, and
+        # the per-sample path pads with exact zeros)
+        pos = np.ascontiguousarray(
+            self.data[idxs, :, :t].transpose(0, 2, 1, 3), np.float32
+        )
+        pos *= (np.arange(n_pad)[None, :] < n_real[:, None])[:, None, :, None]
+
+        rots = None
+        if self.rand_rotation:
+            theta = 2 * np.pi * rng.random(b)
+            c, s = np.cos(theta, dtype=np.float32), np.sin(theta, dtype=np.float32)
+            rots = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], axis=1)
+        signs = np.ones((b, 2), np.float32)
+        if self.flip_vertical:
+            signs[:, 0] = np.where(rng.random(b) < 0.5, -1.0, 1.0)
+        if self.flip_horizontal:
+            signs[:, 1] = np.where(rng.random(b) < 0.5, -1.0, 1.0)
+        if self.flip_vertical or self.flip_horizontal:
+            if rots is None:
+                rots = np.zeros((b, 2, 2), np.float32)
+                rots[:, 0, 0] = signs[:, 0]
+                rots[:, 1, 1] = signs[:, 1]
+            else:
+                rots = rots * signs[:, :, None]  # D @ R: scale rows
+        trans = (
+            (rng.standard_normal((b, 2)) * self.rand_translation).astype(np.float32)
+            if self.rand_translation is not None
+            else None
+        )
+        ba.rotate_batch(pos, rots, trans, shift=self.shift, scale=self.scale,
+                        n_real=n_real)
+
+        perms = ba.permutations_batch(rng, b, n_pad, n_pad)
+        return {
+            "pos": pos,
+            "cond_scene": np.full((b,), self.cond_index, np.int64),
+            "entities": ba.broadcast_pad_rows(perms, n_real, t, n_pad),
+            "attention_mask": ba.attention_mask(n_real, t, n_pad),
         }

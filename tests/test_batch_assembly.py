@@ -165,6 +165,39 @@ class TestDatasetFastPaths:
         d_r = np.linalg.norm(raw["pos"][:, :, :1, :] - raw["pos"][:, :, :n], axis=-1)
         np.testing.assert_allclose(d_f[..., :n], d_r, rtol=1e-4, atol=1e-4)
 
+    def test_pedestrian_batch_matches_per_sample_no_aug(self, engine):
+        from lam_slide_tpu.data.pedestrian import PedestrianDataset
+
+        ds = PedestrianDataset(scene="zara1", phase="train", first_stage=False,
+                               rand_rotation=False, shift=0.3, scale=1.7,
+                               synthetic_scenes=16)
+        idxs = np.asarray([0, 4, 9, 13])
+        fast = ds.sample_batch(idxs, np.random.default_rng(0))
+        samples = [ds.sample(int(i), np.random.default_rng(0)) for i in idxs]
+        ref = pad_collate_temporal(samples, ds.num_entities)
+        assert set(fast) == set(ref)
+        for k in _strip_rng_dependent(ref):
+            np.testing.assert_allclose(fast[k], ref[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+
+    def test_pedestrian_flips_fold_into_rotation(self, engine):
+        from lam_slide_tpu.data.pedestrian import PedestrianDataset
+
+        ds = PedestrianDataset(scene="hotel", phase="train", first_stage=False,
+                               rand_rotation=True, flip_vertical=True,
+                               flip_horizontal=True, rand_translation=0.05,
+                               synthetic_scenes=8)
+        fast = ds.sample_batch(np.arange(8), np.random.default_rng(3))
+        plain = PedestrianDataset(scene="hotel", phase="train", first_stage=False,
+                                  synthetic_scenes=8)
+        raw = plain.sample_batch(np.arange(8), np.random.default_rng(3))
+        # rigid maps preserve pairwise distances among real agents per frame
+        m = fast["attention_mask"][:, 0]  # [B, N]
+        d_f = np.linalg.norm(fast["pos"][:, :, :, None] - fast["pos"][:, :, None], axis=-1)
+        d_r = np.linalg.norm(raw["pos"][:, :, :, None] - raw["pos"][:, :, None], axis=-1)
+        pair = (m[:, None, :, None] & m[:, None, None, :])
+        np.testing.assert_allclose(d_f * pair, d_r * pair, rtol=1e-3, atol=1e-3)
+
     def test_loader_uses_fast_path(self, engine):
         ds = NBADataset(scene="score", first_stage=False, num_frames=8,
                         synthetic_games=4)
