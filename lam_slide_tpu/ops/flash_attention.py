@@ -8,16 +8,23 @@ sequence is zero-padded to the block size and guarded with an in-kernel
 iota mask (padding keys contribute -inf logits). Optional key-padding mask
 arrives as an additive fp32 bias row per batch.
 
-Differentiation: the public ``flash_attention`` carries a custom VJP whose
-backward recomputes attention gradients through the XLA einsum path — same
-math, so training uses it transparently; the Pallas kernel accelerates the
-forward-heavy paths (ODE/SDE sampling, eval) where no gradients flow.
+Differentiation: the public ``flash_attention`` carries a custom VJP. On
+TPU the backward runs FlashAttention-2-style Pallas kernels — the forward
+saves the per-row log-sum-exp, ``delta = rowsum(dO ⊙ O)`` is computed in
+XLA, then a (bh, k-block) kernel accumulates dK/dV over query blocks and a
+(bh, q-block) kernel accumulates dQ over key blocks, all recomputing
+probabilities tile-by-tile so nothing O(Nq·Nk) ever reaches HBM (full-size
+4AA stage-2 train step: 299 ms → 232 ms, and remat-free fits HBM at
+200 ms). Off-TPU (tests, virtual meshes) the backward falls back to a
+batch-chunked XLA einsum recompute of identical math;
+``LAM_SLIDE_NO_FLASH_BWD=1`` forces that path for A/B debugging.
 
 Numerics: logits and softmax statistics in fp32 regardless of input dtype
 (bf16 in production), matching ops.attention.xla_attention.
 """
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -28,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias):
+def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias,
+                  with_lse=False):
     """One (bh, q-block) program: iterate key blocks with running softmax.
 
     q_ref: [1, block_q, d]; k_ref/v_ref: [1, padded_n, d];
@@ -47,7 +55,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias)
     ~20% of kernel time at the DiT's temporal shapes.
     """
     bias_ref = rest[0] if has_bias else None
-    o_ref = rest[-1]
+    o_ref = rest[1] if (has_bias and with_lse) else (rest[0] if with_lse else rest[-1])
+    lse_ref = rest[-1] if with_lse else None
     _, block_q, d = q_ref.shape
     padded_n = k_ref.shape[1]
     num_kb = padded_n // block_k
@@ -84,6 +93,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o_ref[0] = (av(p, 0) / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
         return
 
     def step(kb, carry, masked):
@@ -108,17 +119,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias)
     )
     if full_kb != num_kb:
         carry = step(num_kb - 1, carry, masked=True)
-    _, l, acc = carry
+    m, l, acc = carry
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if with_lse:
+        lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=1024):
-    """q,k,v: [B, H, N, D]; bias: [B, Nk] additive fp32 or None. -> [B, H, N, D].
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "with_lse")
+)
+def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=1024,
+                   with_lse=False):
+    """q,k,v: [B, H, N, D]; bias: [B, Nk] additive fp32 or None. -> [B, H, N, D]
+    (plus, when ``with_lse``, the per-row log-sum-exp [B, H, N] fp32 the
+    backward kernels need to reconstruct attention weights).
 
     block_q defaults high: each (bh, q-block) program re-reads the full K/V
     panel, so fewer q-blocks = less HBM traffic; VMEM stays comfortable up
@@ -168,17 +186,226 @@ def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=1024):
     # CPU (tests, virtual meshes): run the kernel through the interpreter —
     # same program, python-speed; the compiled path needs a real TPU.
     interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((b * h, pq, dp), q.dtype)
+    out_specs = pl.BlockSpec((1, block_q, dp), lambda bh, i: (bh, i, 0))
+    if with_lse:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b * h, pq, 1), jnp.float32)]
+        out_specs = [out_specs, pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0))]
+    res = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, seq_len=nk, has_bias=has_bias
+            _flash_kernel, scale=scale, block_k=block_k, seq_len=nk,
+            has_bias=has_bias, with_lse=with_lse,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, pq, dp), q.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda bh, i: (bh, i, 0)),
+        out_specs=out_specs,
         interpret=interpret,
     )(*operands)
-    return out.reshape(b, h, pq, dp)[:, :, :nq, :d]
+    if with_lse:
+        out, lse = res
+        return (out.reshape(b, h, pq, dp)[:, :, :nq, :d],
+                lse.reshape(b, h, pq)[:, :, :nq])
+    return res.reshape(b, h, pq, dp)[:, :, :nq, :d]
+
+
+def _bwd_probs(q_blk, k_blk, lse_blk, bias_ref, kb, block_k, seq_len, scale,
+               has_bias, masked):
+    """Recompute the [bq, bk] attention weights of one tile, fp32.
+
+    q_blk/k_blk in input dtype (bf16 matmul, fp32 accumulation); lse_blk
+    [bq, 1] fp32. Mirrors the forward logits exactly (scale, key-padding
+    mask on the final block only, optional bias row).
+    """
+    s = jax.lax.dot_general(
+        q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if masked:
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_idx < seq_len, s, _NEG_INF)
+    if has_bias:
+        s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+    return jnp.exp(s - lse_blk)
+
+
+def _flash_bwd_kv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, *rest,
+                         scale, block_q, seq_len, has_bias, masked):
+    """One (bh, k-block) program: accumulate dK, dV over all query blocks.
+
+    q/do_ref: [1, pq, d]; lse/delta_ref: [1, pq, 1] fp32; k/v_ref:
+    [1, block_k, d]; outputs dk/dv [1, block_k, d].
+    dV = P^T dO;  dS = P ⊙ (dO V^T − delta) · scale;  dK = dS^T Q.
+    """
+    bias_ref = rest[0] if has_bias else None
+    dk_ref, dv_ref = rest[-2], rest[-1]
+    _, pq, d = q_ref.shape
+    _, block_k, _ = k_ref.shape
+    kb = pl.program_id(1)
+    num_qb = pq // block_q
+    dtype = v_ref.dtype
+    k = k_ref[0]
+    v = v_ref[0]
+    # this program's k block is the grid's second axis — the key-padding mask
+    # matters only when it covers padded keys (decided per-tile below)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q), :]
+        delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q), :]
+        p = _bwd_probs(q_blk, k, lse_blk, bias_ref, kb, block_k, seq_len,
+                       scale, has_bias, masked=masked)
+        pb = p.astype(dtype)
+        dv = dv + jax.lax.dot_general(
+            pb, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta_blk) * scale).astype(dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_q_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, *rest,
+                        scale, block_k, seq_len, has_bias):
+    """One (bh, q-block) program: accumulate dQ over all key blocks.
+
+    q/do_ref: [1, block_q, d]; lse/delta_ref: [1, block_q, 1]; k/v_ref:
+    [1, pk, d]; output dq [1, block_q, d].  dQ = dS K.
+    """
+    bias_ref = rest[0] if has_bias else None
+    dq_ref = rest[-1]
+    _, block_q, d = q_ref.shape
+    pk = k_ref.shape[1]
+    num_kb = pk // block_k
+    dtype = v_ref.dtype
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    def step(kb, dq, masked):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        p = _bwd_probs(q, k_blk, lse, bias_ref, kb, block_k, seq_len,
+                       scale, has_bias, masked=masked)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta) * scale).astype(dtype)
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    full_kb = num_kb if pk == seq_len else num_kb - 1
+    dq = jax.lax.fori_loop(
+        0, full_kb, lambda kb, c: step(kb, c, masked=False),
+        jnp.zeros((block_q, d), jnp.float32),
+    )
+    if full_kb != num_kb:
+        dq = step(num_kb - 1, dq, masked=True)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k")
+)
+def _flash_backward(q, k, v, bias, out, lse, g, scale, block_q=512, block_k=512):
+    """Pallas flash backward: -> (dq, dk, dv), input dtypes.
+
+    Standard FlashAttention-2 recomputation: delta = rowsum(dO ⊙ O) in XLA,
+    then a (bh, k-block) kernel for dK/dV and a (bh, q-block) kernel for dQ.
+    Peak memory is O(block_q · block_k) per program instead of the
+    O(B·H·Nq·Nk) logits the XLA-recompute path materializes.
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    if nq <= block_q:
+        block_q, pq = nq, nq
+    else:
+        block_q = min(block_q, _round_up(nq, 128))
+        pq = _round_up(nq, block_q)
+    if nk <= block_k:
+        block_k, pk = nk, nk
+    else:
+        block_k = min(block_k, _round_up(nk, 128))
+        pk = _round_up(nk, block_k)
+    dp_ = d if d % 2 == 0 else d + 1
+
+    def prep(t, pn):
+        if pn == t.shape[2] and dp_ == d:
+            return t.reshape(b * h, pn, d)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, pn - t.shape[2]), (0, dp_ - d))).reshape(
+            b * h, pn, dp_
+        )
+
+    def prep_rows(t, pn):  # [B, H, N] fp32 -> [BH, pn, 1]
+        if pn != t.shape[2]:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, pn - t.shape[2])))
+        return t.reshape(b * h, pn, 1)
+
+    qp, dop = prep(q, pq), prep(g.astype(q.dtype), pq)
+    kp, vp = prep(k, pk), prep(v, pk)
+    lsep, deltap = prep_rows(lse, pq), prep_rows(delta, pq)
+
+    has_bias = bias is not None
+    bias_ops, bias_specs = [], []
+    if has_bias:
+        bias_ops = [jnp.pad(bias, ((0, 0), (0, pk - nk)))[:, None, :]]
+        bias_specs = [pl.BlockSpec((1, 1, pk), lambda bh, i: (bh // h, 0, 0))]
+
+    interpret = jax.default_backend() != "tpu"
+    common = dict(scale=scale, seq_len=nk, has_bias=has_bias)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kv_kernel, block_q=block_q,
+                          masked=pk != nk, **common),
+        out_shape=[jax.ShapeDtypeStruct((b * h, pk, dp_), k.dtype)] * 2,
+        grid=(b * h, pk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, pq, dp_), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, pq, dp_), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, pq, 1), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, pq, 1), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda bh, i: (bh, i, 0)),
+            *bias_specs,
+        ],
+        out_specs=[pl.BlockSpec((1, block_k, dp_), lambda bh, i: (bh, i, 0))] * 2,
+        interpret=interpret,
+    )(qp, dop, lsep, deltap, kp, vp, *bias_ops)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_q_kernel, block_k=block_k, **common),
+        out_shape=jax.ShapeDtypeStruct((b * h, pq, dp_), q.dtype),
+        grid=(b * h, pq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp_), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_q, dp_), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, pk, dp_), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, pk, dp_), lambda bh, i: (bh, 0, 0)),
+            *bias_specs,
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp_), lambda bh, i: (bh, i, 0)),
+        interpret=interpret,
+    )(qp, dop, lsep, deltap, kp, vp, *bias_ops)
+
+    unpad = lambda t, n: t.reshape(b, h, -1, dp_)[:, :, :n, :d]
+    return unpad(dq, nq), unpad(dk, nk), unpad(dv, nk)
 
 
 def _mask_to_bias(mask: Optional[jnp.ndarray], b: int, nk: int) -> Optional[jnp.ndarray]:
@@ -204,10 +431,12 @@ def _xla_attention_with_bias(q, k, v, bias, scale):
 
 
 def _core_fwd(q, k, v, bias, scale):
-    return _flash_forward(q, k, v, bias, scale), (q, k, v, bias)
+    out, lse = _flash_forward(q, k, v, bias, scale, with_lse=True)
+    return out, (q, k, v, bias, out, lse)
 
 
-# Backward recompute materializes [chunk, H, Nq, Nk] fp32 logits; cap that
+# Fallback XLA-recompute backward (CPU/virtual meshes, or shapes the Pallas
+# kernels decline): materializes [chunk, H, Nq, Nk] fp32 logits; cap that
 # buffer by splitting the batch axis — a full-size MD17 stage-2 step
 # (B'=1920, N=192) otherwise needs >16 GB of HBM for the logits alone.
 # The cap is generous (~2 GB) because chunking itself costs real time:
@@ -215,11 +444,32 @@ def _core_fwd(q, k, v, bias, scale):
 # stage-2 step when it split into just two chunks).
 _BWD_LOGITS_BUDGET = 2**29  # fp32 elements per chunk (~2 GB)
 
+# Pallas backward keeps the FULL query panel (q + dO, input dtype) plus the
+# lse/delta rows in VMEM per (bh, k-block) program — bound the panel size.
+_BWD_MAX_PANEL = 1 << 22  # elements (e.g. 16k rows x 128 lanes x 2 tensors)
+
 
 def _core_bwd(scale, res, g):
-    q, k, v, bias = res
-    b, h, nq, _ = q.shape
+    q, k, v, bias, out, lse = res
+    b, h, nq, d = q.shape
     nk = k.shape[2]
+
+    on_tpu = jax.default_backend() == "tpu"
+    panel = max(nq, nk) * (d + (d % 2))
+    use_pallas = (
+        on_tpu
+        and 2 * panel <= _BWD_MAX_PANEL
+        # Short sequences with huge batch·head grids (MD17's spatial axis:
+        # bh=30k, N=192) hit pathological Mosaic compile times and don't
+        # need tiling anyway — the chunked XLA recompute handles them within
+        # budget. Pallas takes the long-sequence regime it exists for.
+        and max(nq, nk) >= 256
+        and b * h <= 16384
+        and os.environ.get("LAM_SLIDE_NO_FLASH_BWD") != "1"  # debug/A-B knob
+    )
+    if use_pallas:
+        dq, dk, dv = _flash_backward(q, k, v, bias, out, lse, g, scale)
+        return dq, dk, dv, None
     per_item = h * nq * nk
     chunk = max(1, min(b, _BWD_LOGITS_BUDGET // max(per_item, 1)))
 

@@ -91,3 +91,54 @@ def test_chunked_backward_matches_direct():
                   argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+class TestPallasBackward:
+    """The TPU backward kernels, run here through the Pallas interpreter —
+    exact fp32 parity with jax.grad of the XLA attention."""
+
+    @pytest.mark.parametrize(
+        "nq,nk,d,use_mask,blk",
+        [
+            (64, 64, 16, False, 512),    # single block
+            (100, 100, 24, True, 512),   # odd length + mask, single block
+            (300, 300, 32, True, 128),   # multi-block both axes
+            (260, 260, 16, False, 128),  # padded final block, no mask
+        ],
+    )
+    def test_matches_xla_grads(self, nq, nk, d, use_mask, blk):
+        from lam_slide_tpu.ops.flash_attention import (
+            _flash_backward, _flash_forward, _mask_to_bias)
+
+        key = jax.random.PRNGKey(0)
+        b, h = 2, 3
+        q = jax.random.normal(key, (b, h, nq, d))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, nk, d))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, nk, d))
+        g = jax.random.normal(jax.random.fold_in(key, 3), (b, h, nq, d))
+        mask = None
+        if use_mask:
+            mask = jax.random.uniform(jax.random.fold_in(key, 4), (b, nk)) > 0.3
+            mask = mask.at[:, 0].set(True)
+        bias = _mask_to_bias(mask, b, nk)
+        scale = float(d**-0.5)
+        out, lse = _flash_forward(q, k, v, bias, scale, block_q=blk,
+                                  block_k=blk, with_lse=True)
+        dq, dk, dv = _flash_backward(q, k, v, bias, out, lse, g, scale,
+                                     block_q=blk, block_k=blk)
+        f = lambda q_, k_, v_: jnp.sum(xla_attention(q_, k_, v_, mask=mask) * g)
+        rq, rk, rv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(dq, rq, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(dk, rk, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(dv, rv, rtol=1e-4, atol=1e-5)
+
+    def test_forward_lse_is_logsumexp(self):
+        from lam_slide_tpu.ops.flash_attention import _flash_forward
+
+        key = jax.random.PRNGKey(1)
+        q = jax.random.normal(key, (1, 2, 70, 16))
+        scale = 0.25
+        out, lse = _flash_forward(q, q, q, None, scale, with_lse=True)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, q) * scale
+        ref = jax.scipy.special.logsumexp(logits, axis=-1)
+        np.testing.assert_allclose(lse, ref, rtol=1e-5, atol=1e-5)
