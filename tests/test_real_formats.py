@@ -122,3 +122,51 @@ def test_peptide_npz_pdb_roundtrip(tmp_path):
     # masked slots zero, real slots populated
     assert np.all(traj["atom14_pos"][:, ~mask] == 0)
     assert np.abs(traj["atom14_pos"][:, mask]).sum() > 0
+
+
+def test_process_4aa_tool(tmp_path):
+    """tools/process_4aa.py: multi-model pdb -> strided, H-stripped,
+    superposed npz + state0 pdb, consumable by the peptide data path."""
+    import subprocess
+    import sys
+
+    from lam_slide_tpu.data.peptide import (PeptideDataset,
+                                            _synthetic_trajectory,
+                                            parse_pdb_topology)
+    from lam_slide_tpu.geometry import ops as geo
+    from lam_slide_tpu.geometry.protein import create_full_prot, prots_to_pdb
+
+    atom14, aatype = _synthetic_trajectory("X", n_frames=12)
+    # shift real atoms off the origin: create_full_prot masks atoms by the
+    # nonzero-position heuristic (reference geometry.py:401-419) and the FK
+    # base N sits exactly at (0,0,0) in frame 0
+    atom14 = atom14.copy()
+    atom14[:, pc.RESTYPE_ATOM14_MASK[aatype].astype(bool)] += 5.0
+    prots = [
+        create_full_prot(np.asarray(geo.atom14_to_atom37(atom14[t], aatype)),
+                         aatype=aatype)
+        for t in range(12)
+    ]
+    raw = tmp_path / "raw" / "AAAA"
+    raw.mkdir(parents=True)
+    (raw / "AAAA.pdb").write_text(prots_to_pdb(prots))
+    (tmp_path / "split.csv").write_text("name\nAAAA\n")
+    out = tmp_path / "out"
+
+    subprocess.run(
+        [sys.executable, "tools/process_4aa.py", "--split",
+         str(tmp_path / "split.csv"), "--sim-dir", str(tmp_path / "raw"),
+         "--outdir", str(out), "--stride", "3"],
+        check=True,
+    )
+    data = np.load(out / "AAAA-traj-arrays.npz")
+    n_heavy = int(pc.RESTYPE_ATOM14_MASK[aatype].sum())
+    assert data["positions"].shape == (4, n_heavy, 3)  # 12 / stride 3
+    # centered + superposed
+    assert np.abs(data["positions"].mean(axis=1)).max() < 1e-4
+    topo = parse_pdb_topology(str(out / "AAAA-traj-state0.pdb"))
+    assert len(topo) == len(aatype)
+    # reloadable through the real data path
+    ds = PeptideDataset(data_dir=str(out), first_stage=True, n_timesteps=2)
+    assert ds.trajectories[0]["name"] == "AAAA"
+    assert ds.trajectories[0]["atom14_pos"].shape[0] == 4
