@@ -1,7 +1,10 @@
 """Domain test protocols — the reference test_step/test_epoch_end loops.
 
 Each runner drives the jitted K-sampling over a test loader and reduces to
-the paper metrics:
+the paper metrics. Pass ``mesh`` to shard evaluation over the data axis of
+a device mesh (batches land pre-sharded in HBM, parameters replicate, XLA
+partitions the sampling program — same metrics, Nx chips; the multi-chip
+analogue of the reference's single-device fp32 test pass, src/train.py:100-112):
 
 * MD17 (second_stage/md17.py:139-179): zero target frames, K=5 repeats,
   mean ADE/FDE x dataset scale, per molecule.
@@ -24,6 +27,24 @@ from lam_slide_tpu.composites.evaluation import (
 )
 
 
+def _replicate_if_mesh(params, fs_variables, mesh):
+    if mesh is None:
+        return params, fs_variables
+    from lam_slide_tpu.parallel.mesh import replicated
+
+    rep = replicated(mesh)
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+    return put(params), put(fs_variables)
+
+
+def _shard_or_device(batch, mesh):
+    if mesh is None:
+        return jax.tree.map(jnp.asarray, batch)
+    from lam_slide_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(batch, mesh)
+
+
 def evaluate_md17(
     ss,
     params,
@@ -33,9 +54,11 @@ def evaluate_md17(
     k: int = 5,
     rng: Optional[jax.Array] = None,
     sampling_kwargs: Optional[dict] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """-> {"test/<molecule>/ade": ..., "test/<molecule>/fde": ...}."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
+    params, fs_variables = _replicate_if_mesh(params, fs_variables, mesh)
     cond_end = ss.cond_idx[1]
     sample_k = jax.jit(
         ss.make_k_sample_fn(k=k, sampling_method="ODE",
@@ -46,7 +69,7 @@ def evaluate_md17(
     for name, loader in loaders.items():
         ades, fdes = [], []
         for batch in loader:
-            batch = jax.tree.map(jnp.asarray, batch)
+            batch = _shard_or_device(batch, mesh)
             true_pos = batch["pos"][:, cond_end:]
             mask = batch["attention_mask"][:, cond_end:]
             batch = zero_target_frames(batch, cond_end)
@@ -72,11 +95,13 @@ def evaluate_min_k(
     rng: Optional[jax.Array] = None,
     sampling_kwargs: Optional[dict] = None,
     pos_key: str = "pos",
+    mesh=None,
 ) -> Dict[str, float]:
     """Pedestrian/NBA protocol -> test/<scene>/{ade,fde}[,_post]."""
     if k < num_runs:
         raise ValueError("K must be >= num_runs (second_stage/pedestrian.py:44-47)")
     rng = jax.random.PRNGKey(0) if rng is None else rng
+    params, fs_variables = _replicate_if_mesh(params, fs_variables, mesh)
     cond_end = ss.cond_idx[1]
     sample_k = jax.jit(
         ss.make_k_sample_fn(k=k, sampling_method="ODE",
@@ -92,7 +117,7 @@ def evaluate_min_k(
     for name, loader in loaders.items():
         accum = {"ade": [], "fde": [], "ade_post": [], "fde_post": []}
         for batch in loader:
-            batch = jax.tree.map(jnp.asarray, batch)
+            batch = _shard_or_device(batch, mesh)
             true_pos = batch[pos_key][:, cond_end:]
             emask = batch["attention_mask"][:, 0]
             batch = zero_target_frames(batch, cond_end, keys=(pos_key,))

@@ -130,3 +130,47 @@ def test_min_k_protocol_runner():
         assert key in out and np.isfinite(out[key])
     with pytest.raises(ValueError):
         evaluate_min_k(ss, params, fs_vars, {}, k=2, num_runs=5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+def test_md17_protocol_on_mesh_matches_single_device():
+    """evaluate_md17 with a data-parallel mesh: identical metrics, sharded
+    sampling — the multi-chip test pass the reference never had."""
+    from lam_slide_tpu.composites.md17 import (
+        MD17FirstStageConfig, MD17SecondStageConfig,
+        build_md17_first_stage, build_md17_second_stage,
+    )
+    from lam_slide_tpu.composites.testing import evaluate_md17
+    from lam_slide_tpu.data import Loader, pad_collate_temporal
+    from lam_slide_tpu.data.md17 import MD17Dataset
+    from lam_slide_tpu.parallel import MeshSpec, make_mesh
+
+    ne, span = 12, 8
+    fs_cfg = MD17FirstStageConfig(num_entities=ne, dim_input=16, dim_latent=8,
+                                  dim_entity=16, num_latents=4, dim_head_cross=4,
+                                  dim_head_latent=4, num_head_cross=2,
+                                  dropout_query=0.0)
+    fs = build_md17_first_stage(fs_cfg)
+    ds = MD17Dataset(molecule="benzene", mode="test", span=span, first_stage=False,
+                     num_entities=ne, force_length=8, rand_rotation=False,
+                     synthetic_frames=1500)
+    loader = Loader(ds, batch_size=8, collate_fn=lambda b: pad_collate_temporal(b, ne),
+                    shuffle=False, seed=0, drop_last=True)
+    batch = jax.tree.map(jnp.asarray, next(iter(loader)))
+    frame0 = {k: v[:, 0] for k, v in batch.items() if not k.startswith("cond")}
+    fs_vars = fs.init(jax.random.PRNGKey(0), frame0)
+    cfg2 = MD17SecondStageConfig(in_dim=8, depth=1, hidden_size=16, num_heads=2,
+                                 cond_idx=(0, 3), num_timesteps=span)
+    ss = build_md17_second_stage(cfg2, fs, fs_vars)
+    x1, mk = ss.prepare_batch(fs_vars, batch)
+    params = ss.backbone.init(jax.random.PRNGKey(1), x1, jnp.zeros((8,)),
+                              mk["x_cond"], mk["x_cond_mask"])["params"]
+    kwargs = dict(scale=1.169, k=2,
+                  sampling_kwargs={"sampling_method": "euler", "num_steps": 2})
+    single = evaluate_md17(ss, params, fs_vars, {"benzene": loader}, **kwargs)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    sharded = evaluate_md17(ss, params, fs_vars, {"benzene": loader}, mesh=mesh,
+                            **kwargs)
+    for key in single:
+        np.testing.assert_allclose(sharded[key], single[key], rtol=5e-3,
+                                   err_msg=key)
