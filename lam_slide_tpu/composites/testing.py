@@ -42,6 +42,10 @@ def _shard_or_device(batch, mesh):
         return jax.tree.map(jnp.asarray, batch)
     from lam_slide_tpu.parallel.mesh import shard_batch
 
+    n_data = mesh.shape.get("data", 1)
+    b = len(next(iter(batch.values())))
+    if b % n_data:  # remainder batch (drop_last=False loaders): run replicated
+        return jax.tree.map(jnp.asarray, batch)
     return shard_batch(batch, mesh)
 
 

@@ -42,6 +42,10 @@ def main(argv=None):
              "— the Hydra-style command-line override surface",
     )
     parser.add_argument(
+        "--test-mesh", action="store_true",
+        help="shard the --test protocols over the data mesh (default follows "
+             "the reference's single-program test pass)")
+    parser.add_argument(
         "--test", action="store_true",
         help="after training, run the domain test protocol on the eval loaders "
              "(mean-K ADE/FDE for md17; per-entity min-K [+FPC] for pedestrian/nba)",
@@ -122,12 +126,14 @@ def main(argv=None):
             from lam_slide_tpu.experiments.registry import MD17_SCALES
 
             metrics = evaluate_md17(exp.model, params, fs_vars, exp.val_loaders,
-                                    scale=MD17_SCALES[args.molecule], k=k)
+                                    scale=MD17_SCALES[args.molecule], k=k,
+                                    mesh=mesh if args.test_mesh else None)
         elif exp.meta["domain"] in ("pedestrian", "nba"):
             num_runs = min(int(cfg.get("num_runs", k)), k)
             metrics = evaluate_min_k(exp.model, params, fs_vars, exp.val_loaders,
                                      k=k, num_runs=num_runs,
-                                     post_process=bool(cfg.get("post_process", False)))
+                                     post_process=bool(cfg.get("post_process", False)),
+                                     mesh=mesh if args.test_mesh else None)
         else:
             metrics = {}
             print("use lam_slide_tpu.analysis.eval_cli for the peptide eval pipeline")
