@@ -16,7 +16,7 @@ import threading
 from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "batch_engine.cc")
+_SOURCES = [os.path.join(_HERE, "batch_engine.cc"), os.path.join(_HERE, "xtc.cc")]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 
 _lock = threading.Lock()
@@ -39,17 +39,40 @@ _SIGNATURES = {
     "center_frame0_f32": [_f32p, _i64p, _i64, _i64, _i64, _i64],
     "mask_fill_u8": [_u8p, _i64p, _i64, _i64, _i64],
     "team_flip_i64": [_i64p, _u8p, _i64, _i64],
+    # GROMACS XTC codec (xtc.cc)
+    "xtc_decode_frame": None,  # configured below (non-void returns)
+    "xtc_peek_natoms": None,
+    "xtc_encode_frame": None,
+}
+
+_u8cp = ctypes.POINTER(ctypes.c_uint8)
+_i32 = ctypes.c_int32
+_i32p = ctypes.POINTER(_i32)
+_f32 = ctypes.c_float
+
+_RETURNING = {
+    "xtc_decode_frame": (
+        _i32, [_u8cp, _i64, _i64p, _i32p, ctypes.POINTER(_f32), _f32p, _f32p, _i64]
+    ),
+    "xtc_peek_natoms": (_i32, [_u8cp, _i64, _i64]),
+    "xtc_encode_frame": (
+        _i64, [_i32, _i32, _f32, _f32p, _f32p, _f32, _u8cp, _i64]
+    ),
 }
 
 
 def _build() -> Optional[str]:
-    with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_BUILD_DIR, f"batch_engine_{tag}.so")
+    h = hashlib.sha256()
+    for src in _SOURCES:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
+    so_path = os.path.join(_BUILD_DIR, f"engine_{tag}.so")
     if os.path.exists(so_path):
         return so_path
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", so_path + ".tmp", _SRC]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+           "-o", so_path + ".tmp", *_SOURCES]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
@@ -75,8 +98,12 @@ def lib() -> Optional[ctypes.CDLL]:
         cdll = ctypes.CDLL(so_path)
         for name, argtypes in _SIGNATURES.items():
             fn = getattr(cdll, name)
+            if argtypes is None:
+                restype, argtypes = _RETURNING[name]
+                fn.restype = restype
+            else:
+                fn.restype = None
             fn.argtypes = argtypes
-            fn.restype = None
         _lib = cdll
     return _lib
 

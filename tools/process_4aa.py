@@ -9,8 +9,8 @@ frame, superpose onto frame 0 (Kabsch), stride, and write
 ``lam_slide_tpu.data.peptide.PeptideDataset`` consumes.
 
 Trajectory input formats:
-- ``{name}.xtc`` + ``{name}.pdb`` topology, when ``mdtraj`` is installed
-  (the reference's only path; gated here since this image has no mdtraj);
+- ``{name}.xtc`` + ``{name}.pdb`` topology, decoded by the native XTC
+  codec (lam_slide_tpu/native/xtc.cc; mdtraj as fallback when present);
 - a multi-model ``{name}.pdb`` trajectory, parsed natively;
 - a ``{name}.npz``/``.npy`` coordinate dump (keys: positions | xyz | arr_0)
   with a ``{name}.pdb`` topology.
@@ -62,12 +62,18 @@ def _load_xyz(traj_path: str, top_path: str) -> np.ndarray:
     """-> [T, n_atoms_all, 3] float32 (nanometers for xtc, as-stored else)."""
     ext = os.path.splitext(traj_path)[1].lower()
     if ext == ".xtc":
+        try:  # native codec (lam_slide_tpu/native/xtc.cc) — no mdtraj needed
+            from lam_slide_tpu.data.xtc import read_xtc
+
+            return read_xtc(traj_path)[0]
+        except RuntimeError:
+            pass  # no host compiler: fall through to mdtraj
         try:
             import mdtraj as md
         except ImportError as e:
             raise SystemExit(
-                "xtc input needs mdtraj (not in this image); convert to a "
-                "multi-model pdb or an npz of coordinates instead"
+                "xtc input needs the native codec (host g++) or mdtraj; "
+                "neither is available — convert to multi-model pdb/npz"
             ) from e
         return md.load(traj_path, top=top_path).xyz.astype(np.float32)
     if ext in (".npz", ".npy"):
