@@ -129,6 +129,7 @@ def build_md17_first_stage(cfg: MD17FirstStageConfig, dtype=jnp.float32) -> Firs
 @dataclass(frozen=True)
 class MD17SecondStageConfig:
     """Mirrors configs/model/md17/second-stage.yaml keys."""
+    scan_layers: bool = False
 
     depth: int = 4
     in_dim: int = 32
@@ -179,6 +180,7 @@ def build_md17_second_stage(
         vec_in_dim=cfg.vec_in_dim if cfg.class_conditional else None,
         reference_init=cfg.reference_init,
         checkpointing=cfg.checkpointing,
+        scan_layers=cfg.scan_layers,
         dtype=dtype,
     )
     backbone = (

@@ -192,6 +192,7 @@ def make_nba_first_stage_loss(model: FirstStageBackbone, cfg: NBAFirstStageConfi
 @dataclass(frozen=True)
 class NBASecondStageConfig:
     """Mirrors configs/model/nba/second-stage.yaml."""
+    scan_layers: bool = False
 
     depth: int = 6
     in_dim: int = 32
@@ -237,6 +238,7 @@ def build_nba_second_stage(
         n_timesteps=cfg.num_timesteps,
         vec_in_dim=cfg.vec_in_dim if cfg.class_conditional else None,
         reference_init=cfg.reference_init,
+        scan_layers=cfg.scan_layers,
         dtype=dtype,
     )
     backbone = (

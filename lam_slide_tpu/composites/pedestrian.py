@@ -129,6 +129,7 @@ def make_pedestrian_first_stage_loss(model: FirstStageBackbone, cfg: PedestrianF
 @dataclass(frozen=True)
 class PedestrianSecondStageConfig:
     """Mirrors configs/model/pedestrian/second-stage.yaml."""
+    scan_layers: bool = False
 
     depth: int = 6
     in_dim: int = 32
@@ -176,6 +177,7 @@ def build_pedestrian_second_stage(
         vec_in_dim=cfg.vec_in_dim if cfg.class_conditional else None,
         reference_init=cfg.reference_init,
         share_weights=cfg.share_weights,
+        scan_layers=cfg.scan_layers,
         dtype=dtype,
     )
     backbone = (

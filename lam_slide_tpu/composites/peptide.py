@@ -246,6 +246,7 @@ def make_peptide_first_stage_loss(model: FirstStageBackbone, cfg: PeptideFirstSt
 @dataclass(frozen=True)
 class PeptideSecondStageConfig:
     """Mirrors configs/model/peptide/second-stage.yaml."""
+    scan_layers: bool = False
 
     depth: int = 7
     in_dim: int = 96
@@ -288,6 +289,7 @@ def build_peptide_second_stage(
         mlp_ratio=cfg.mlp_ratio,
         n_timesteps=cfg.num_timesteps,
         checkpointing=cfg.checkpointing,
+        scan_layers=cfg.scan_layers,
         reference_init=cfg.reference_init,
         dtype=dtype,
     )

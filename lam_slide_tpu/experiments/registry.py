@@ -190,7 +190,8 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
 
     cfg2 = (
-        MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True)
+        MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True,
+                              scan_layers=True)
         if not smoke
         else MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
                                    num_heads=4, class_conditional=True, vec_in_dim=32)
@@ -304,7 +305,8 @@ def pedestrian_second_stage(smoke=False, data_root=None, workspace="runs", seed=
         frame0 = {k: v[:, 0] for k, v in batch.items() if not k.startswith("cond")}
         fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
 
-    cfg2 = (PedestrianSecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True)
+    cfg2 = (PedestrianSecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True,
+                                        scan_layers=True)
             if not smoke else
             PedestrianSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1, hidden_size=16,
                                         num_heads=2, class_conditional=True, vec_in_dim=16))
@@ -407,7 +409,8 @@ def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         frame0 = {k: v[:, 0] for k, v in batch.items() if not k.startswith("cond")}
         fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
 
-    cfg2 = (NBASecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True)
+    cfg2 = (NBASecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True,
+                                 scan_layers=True)
             if not smoke else
             NBASecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1, hidden_size=16,
                                  num_heads=2, class_conditional=True, vec_in_dim=16))
@@ -517,7 +520,8 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         frame0 = {k: v[:, 0] for k, v in batch.items()}
         fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
 
-    cfg2 = (PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, num_timesteps=n_t)
+    cfg2 = (PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, num_timesteps=n_t,
+                                     scan_layers=True)
             if not smoke else
             PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
                                      num_heads=4, num_timesteps=n_t))

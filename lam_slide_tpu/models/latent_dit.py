@@ -305,6 +305,56 @@ class LatentDiTLayer(nn.Module):
         return x
 
 
+class _LayerScanBody(nn.Module):
+    """nn.scan body: one LatentDiTLayer as (carry, broadcast...) -> (carry, None)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 2.0
+    attention_mode: str = "scaled_dot_product"
+    backend: str = "auto"
+    packed_threshold: int = 8
+    reference_init: bool = True
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, h, vec, sp_cos, sp_sin, tm_cos, tm_sin):
+        layer_cls = nn.remat(LatentDiTLayer) if self.remat else LatentDiTLayer
+        h = layer_cls(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            attention_mode=self.attention_mode,
+            backend=self.backend,
+            packed_threshold=self.packed_threshold,
+            reference_init=self.reference_init,
+            dtype=self.dtype,
+            name="layer",
+        )(h, vec, sp_cos, sp_sin, tm_cos, tm_sin)
+        return h, None
+
+
+def stack_layer_params(params: dict, depth: int) -> dict:
+    """Convert a per-layer param tree (block_0..block_{D-1}) to the
+    scan_layers layout (blocks/layer/... with a leading depth axis), so
+    checkpoints trained either way interoperate."""
+    blocks = [params[f"block_{i}"] for i in range(depth)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    out = {k: v for k, v in params.items() if not k.startswith("block_")}
+    out["blocks"] = {"layer": stacked}
+    return out
+
+
+def unstack_layer_params(params: dict, depth: int) -> dict:
+    """Inverse of stack_layer_params."""
+    stacked = params["blocks"]["layer"]
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    for i in range(depth):
+        out[f"block_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out
+
+
 class LatentDiT(nn.Module):
     """Conditional latent-trajectory denoiser (reference LatentSIV3).
 
@@ -312,6 +362,13 @@ class LatentDiT(nn.Module):
       x, x_cond: [B, T, L, in_dim]; t: [B] in [0, 1];
       x_cond_mask: [B, T, L] int (1 = conditioning frame); y: [B, vec_in_dim].
     Returns [B, T, L, in_dim].
+
+    ``scan_layers=True`` rolls the depth loop into ``nn.scan`` (stacked
+    per-layer params, leading depth axis): the traced HLO carries ONE layer
+    body instead of ``depth`` copies, which keeps compile times sane for
+    programs that inline the model many times — the dopri5 sampler's RK45
+    body holds 6 drift evaluations, i.e. 6·depth inlined layers without it.
+    Same math as the unrolled loop (parity-tested via stack_layer_params).
     """
 
     depth: int
@@ -326,6 +383,7 @@ class LatentDiT(nn.Module):
     normalize: bool = False
     attention_mode: str = "scaled_dot_product"
     share_weights: bool = False
+    scan_layers: bool = False
     reference_init: bool = True
     backend: str = "auto"
     packed_threshold: int = 8
@@ -387,14 +445,28 @@ class LatentDiT(nn.Module):
             dtype=self.dtype,
         )
         layer_cls = nn.remat(LatentDiTLayer) if self.checkpointing else LatentDiTLayer
-        if self.share_weights:
-            block = layer_cls(**layer_kwargs, name="block_shared")
-            blocks = [block] * self.depth
+        if self.scan_layers and not self.share_weights:
+            scan = nn.scan(
+                _LayerScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast,) * 5,
+                length=self.depth,
+            )
+            h, _ = scan(**layer_kwargs, remat=self.checkpointing, name="blocks")(
+                h, vec, sp_cos, sp_sin, tm_cos, tm_sin
+            )
         else:
-            blocks = [layer_cls(**layer_kwargs, name=f"block_{i}") for i in range(self.depth)]
-
-        for block in blocks:
-            h = block(h, vec, sp_cos, sp_sin, tm_cos, tm_sin)
+            if self.share_weights:
+                block = layer_cls(**layer_kwargs, name="block_shared")
+                blocks = [block] * self.depth
+            else:
+                blocks = [
+                    layer_cls(**layer_kwargs, name=f"block_{i}")
+                    for i in range(self.depth)
+                ]
+            for block in blocks:
+                h = block(h, vec, sp_cos, sp_sin, tm_cos, tm_sin)
 
         # Final AdaLN + zero-init projection (latent_si_v31.py:119-124,185-187).
         mod = nn.Dense(

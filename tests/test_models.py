@@ -230,3 +230,62 @@ def test_modulation_triple_and_dropout_seq():
     xd, md = dropout_seq(jax.random.PRNGKey(3), x, mask, dropout=0.5)
     assert xd.shape == (3, 5, 4)
     assert md.all()  # padding dropped first → all kept items are real
+
+
+class TestScanLayers:
+    """scan_layers=True rolls the depth loop into nn.scan — bit-equal to the
+    unrolled loop under stack_layer_params, with working grads and remat."""
+
+    def _world(self, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from lam_slide_tpu.models import LatentDiT
+
+        B, T, L, DIN = 2, 12, 2, 8
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (B, T, L, DIN))
+        x_cond = jnp.zeros_like(x)
+        mask = jnp.zeros((B, T, L), jnp.int32).at[:, :1].set(1)
+        t = jnp.full((B,), 0.3)
+        model = LatentDiT(depth=3, in_dim=DIN, hidden_size=32, num_heads=4,
+                          n_timesteps=T, **kw)
+        return model, (x, t, x_cond, mask)
+
+    def test_matches_unrolled(self):
+        import jax
+        import jax.numpy as jnp
+
+        from lam_slide_tpu.models.latent_dit import (stack_layer_params,
+                                                     unstack_layer_params)
+
+        base, args = self._world()
+        v0 = base.init(jax.random.PRNGKey(0), *args)
+        out0 = base.apply(v0, *args)
+        scan, _ = self._world(scan_layers=True)
+        stacked = {"params": stack_layer_params(v0["params"], 3)}
+        assert (jax.tree.structure(stacked["params"])
+                == jax.tree.structure(scan.init(jax.random.PRNGKey(1), *args)["params"]))
+        out1 = scan.apply(stacked, *args)
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+        # unstack roundtrip
+        back = unstack_layer_params(stacked["params"], 3)
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: jnp.array_equal(a, b), back, v0["params"]))
+
+    def test_remat_scan_equal_and_grads_flow(self):
+        import jax
+        import jax.numpy as jnp
+
+        scan, args = self._world(scan_layers=True, reference_init=False)
+        v = scan.init(jax.random.PRNGKey(0), *args)
+        out = scan.apply(v, *args)
+        remat, _ = self._world(scan_layers=True, reference_init=False,
+                               checkpointing=True)
+        out_r = remat.apply(v, *args)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_r))
+        g = jax.grad(lambda p: float(0) + jnp.sum(
+            scan.apply({"params": p}, *args) ** 2))(v["params"])
+        leaf_sum = jax.tree_util.tree_reduce(
+            lambda a, l: a + float(jnp.sum(jnp.abs(l))), g, 0.0)
+        assert leaf_sum > 0
