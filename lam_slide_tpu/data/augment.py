@@ -59,3 +59,40 @@ def uniform_rotation_matrix(rng: np.random.Generator) -> np.ndarray:
     if np.linalg.det(q) < 0:
         q[:, 0] = -q[:, 0]
     return q.astype(np.float32)
+
+
+def centre_random_augmentation(points: np.ndarray, rot: np.ndarray,
+                               translation: np.ndarray) -> np.ndarray:
+    """Center at the mean, rotate, translate (data_utils.py:40-50);
+    points [N, D] or [B, N, D]."""
+    axis = points.ndim - 2
+    center = points.mean(axis=axis, keepdims=True)
+    return (points - center) @ rot.T + translation
+
+
+def rotate_about_center(points: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """Rotate about the per-cloud centroid, keeping the centroid fixed
+    (data_utils.py:53-84); points [N, D] or [B, N, D], rot [D, D]."""
+    axis = points.ndim - 2
+    center = points.mean(axis=axis, keepdims=True)
+    return (points - center) @ rot.T + center
+
+
+def scale_to_new_range(x, old_min=-0.5, old_max=0.5, new_min=0.1, new_max=0.9):
+    """Affine range remap (data_utils.py:99-100; occupancy-grid tooling)."""
+    return (x - old_min) * (new_max - new_min) / (old_max - old_min) + new_min
+
+
+def encode_atoms(residues, encoding=None) -> np.ndarray:
+    """Element-class ids for a parsed topology (data_utils.py:87-89, with the
+    mdtraj Trajectory replaced by peptide.parse_pdb_topology residues:
+    [(resname, [atom names])]; element = leading letter of the atom name)."""
+    from lam_slide_tpu.data.constants import ATOM_ENCODING
+
+    encoding = ATOM_ENCODING if encoding is None else encoding
+    out = []
+    for _, names in residues:
+        for name in names:
+            element = next((c for c in name if c.isalpha()), "C")
+            out.append(encoding[element])
+    return np.asarray(out, np.int64)

@@ -121,3 +121,40 @@ def test_pad_collate_temporal_v2():
     assert batch["attention_mask"][:, :, :r].all()
     assert not batch["attention_mask"][:, :, r:].any()
     assert np.all(batch["atom14_pos"][:, :, r:] == 0)
+
+
+def test_data_utils_parity():
+    """constants + centre/rotate-about-center/range utilities
+    (reference src/utils/constants.py + data_utils.py)."""
+    from lam_slide_tpu.data import augment
+    from lam_slide_tpu.data.constants import AA_TO_NUM, ATOM_ENCODING
+
+    assert AA_TO_NUM["ALA"] == AA_TO_NUM["A"] == 0 and AA_TO_NUM["VAL"] == 19
+    assert list(ATOM_ENCODING) == ["C", "N", "O", "S", "H"]
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((6, 3)).astype(np.float32)
+    rot = np.linalg.qr(rng.standard_normal((3, 3)))[0].astype(np.float32)
+    t = np.asarray([1.0, 2.0, 3.0], np.float32)
+
+    out = augment.centre_random_augmentation(pts, rot, t)
+    np.testing.assert_allclose(out.mean(0), t, atol=1e-5)  # centered then moved
+
+    out = augment.rotate_about_center(pts, rot)
+    np.testing.assert_allclose(out.mean(0), pts.mean(0), atol=1e-5)
+    d0 = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    d1 = np.linalg.norm(out[:, None] - out[None], axis=-1)
+    np.testing.assert_allclose(d0, d1, atol=1e-4)
+
+    # batch form
+    batch = rng.standard_normal((2, 5, 2)).astype(np.float32)
+    rot2 = np.asarray([[0.0, -1.0], [1.0, 0.0]], np.float32)
+    outb = augment.rotate_about_center(batch, rot2)
+    np.testing.assert_allclose(outb.mean(1), batch.mean(1), atol=1e-5)
+
+    assert augment.scale_to_new_range(-0.5) == 0.1
+    assert augment.scale_to_new_range(0.5) == 0.9
+
+    residues = [("ALA", ["N", "CA", "C", "O", "CB"]), ("CYS", ["N", "CA", "SG"])]
+    enc = augment.encode_atoms(residues)
+    np.testing.assert_array_equal(enc, [1, 0, 0, 2, 0, 1, 0, 3])
