@@ -43,16 +43,18 @@ class TrainerConfig:
     seed: int = 0
 
 
-def make_optimizer(cfg: TrainerConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    """AdamW + per-step warmup-cosine (reference AdamW +
-    LinearWarmupCosineAnnealingLR stepped per grad step)."""
+def make_optimizer(cfg: TrainerConfig, steps_per_epoch: int):
+    """-> (optimizer, schedule). AdamW + per-step warmup-cosine (reference
+    AdamW + LinearWarmupCosineAnnealingLR stepped per grad step); the
+    schedule is returned so the trainer can log the LR (the reference's
+    LearningRateMonitor callback)."""
     schedule = linear_warmup_cosine(
         cfg.lr, cfg.warmup_epochs, cfg.max_epochs, steps_per_epoch, cfg.min_lr
     )
     tx = optax.adamw(learning_rate=schedule, weight_decay=cfg.weight_decay)
     if cfg.grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
-    return tx
+    return tx, schedule
 
 
 class MetricLogger:
@@ -104,7 +106,7 @@ class Trainer:
         self.quiet = quiet
 
     def init_state(self, variables: dict, steps_per_epoch: int):
-        tx = make_optimizer(self.cfg, steps_per_epoch)
+        tx, self._schedule = make_optimizer(self.cfg, steps_per_epoch)
         state = create_train_state(variables, tx, ema=self.cfg.ema_decay is not None)
         return state, tx
 
@@ -151,7 +153,8 @@ class Trainer:
                     acc.setdefault(k, []).append(float(v))
             train_metrics = _mean_metrics(acc)
             record = {"epoch": epoch, "split": "train", "time_s": round(time.time() - t0, 2),
-                      "step_ms": round(timer.mean_step_s * 1e3, 2)}
+                      "step_ms": round(timer.mean_step_s * 1e3, 2),
+                      "train/lr": float(self._schedule(int(state.step)))}
             record.update({f"train/{k}": v for k, v in train_metrics.items()})
             self.logger.log(record)
 
