@@ -74,3 +74,52 @@ def make_peptide_sampling_hook(
         return summary
 
     return hook
+
+
+def make_pointcloud_vis_hook(
+    predict_fn,
+    batch: Dict[str, np.ndarray],
+    run_dir: str,
+    atom_types: Optional[np.ndarray] = None,
+    ax_range=(-1, 1),
+    interval: int = 1,
+):
+    """PointCloudVisualizationCallback equivalent (src/modules/callbacks.py):
+    every ``interval`` validation epochs, render the first validation
+    sample's predicted vs target point cloud (open diamonds = ground truth)
+    into ``run_dir/figures`` — the figure-logging stand-in for the
+    reference's wandb ``val/vis/sample``.
+
+    predict_fn(state, batch) -> positions [B, N, 3] (e.g. a jitted stage-1
+    reconstruction); batch carries "pos" targets + "attention_mask".
+    """
+    import matplotlib.pyplot as plt
+
+    from lam_slide_tpu.analysis.plots import scatter_3d_comparison
+    from lam_slide_tpu.data.constants import NUM_TO_ATOM_TYPE
+
+    outdir = os.path.join(run_dir, "figures")
+    counter = {"n": 0}
+
+    def hook(state, epoch) -> Optional[Dict[str, float]]:
+        counter["n"] += 1
+        if (counter["n"] - 1) % interval != 0:
+            return None
+        preds = np.asarray(predict_fn(state, batch))
+        mask = np.asarray(batch["attention_mask"][0]).astype(bool)
+        types = None
+        if atom_types is not None:
+            types = [NUM_TO_ATOM_TYPE.get(int(z), "#") for z in atom_types[mask]]
+        fig = scatter_3d_comparison(
+            preds[0][mask], types, np.asarray(batch["pos"][0])[mask], types,
+            ax_range=ax_range, title=f"epoch {epoch}",
+        )
+        os.makedirs(outdir, exist_ok=True)
+        path = os.path.join(outdir, f"pointcloud_epoch{epoch:05d}.png")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        rmse = float(np.sqrt(np.mean(
+            (preds[0][mask] - np.asarray(batch["pos"][0])[mask]) ** 2)))
+        return {"vis_rmse": rmse}
+
+    return hook

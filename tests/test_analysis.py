@@ -327,3 +327,25 @@ def test_sampling_hook(tmp_path):
                                       num_rollouts=1, max_peptides=1, num_steps=2)
     out = hook(state, epoch=0)
     assert out is not None and "BB" in out and np.isfinite(out["BB"])
+
+
+def test_pointcloud_vis_hook(tmp_path):
+    """PointCloudVisualizationCallback equivalent renders + reports RMSE."""
+    from lam_slide_tpu.analysis.callbacks import make_pointcloud_vis_hook
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "pos": rng.standard_normal((2, 6, 3)).astype(np.float32),
+        "attention_mask": np.asarray([[1, 1, 1, 1, 0, 0]] * 2, bool),
+    }
+    z = np.asarray([6, 7, 8, 1, 6, 6])
+
+    def predict(state, b):
+        return b["pos"] + 0.1
+
+    hook = make_pointcloud_vis_hook(predict, batch, str(tmp_path), atom_types=z,
+                                    interval=2)
+    out = hook(None, 0)
+    assert abs(out["vis_rmse"] - 0.1) < 1e-5
+    assert (tmp_path / "figures" / "pointcloud_epoch00000.png").exists()
+    assert hook(None, 1) is None  # interval gating
