@@ -141,3 +141,56 @@ def evaluate_min_k(
             out[f"test/{name}/ade_post"] = float(np.mean(accum["ade_post"]) * scale)
             out[f"test/{name}/fde_post"] = float(np.mean(accum["fde_post"]) * scale)
     return out
+
+
+class _LimitLoader:
+    """First-n-batches view of a loader (reference limit_val_batches)."""
+
+    def __init__(self, loader, n):
+        self.loader, self.n = loader, n
+
+    def __iter__(self):
+        for i, batch in enumerate(self.loader):
+            if i >= self.n:
+                break
+            yield batch
+
+
+def make_protocol_val_hook(
+    ss,
+    loaders: Dict[str, object],
+    domain: str,
+    scale: float = 1.0,
+    k: int = 5,
+    num_runs: Optional[int] = None,
+    limit_batches: int = 1,
+    interval: int = 1,
+    sampling_kwargs: Optional[dict] = None,
+):
+    """Trainer eval_fn: sampled val ADE/FDE each ``interval`` val epochs —
+    the reference's stage-2 validation_step behavior (second_stage/md17.py:
+    75-113, pedestrian.py:148-190), run on EMA weights over
+    ``limit_batches`` batches per loader with the euler/10 val sampler.
+    """
+    counter = {"n": 0}
+    limited = {name: _LimitLoader(l, limit_batches) for name, l in loaders.items()}
+
+    def hook(state, epoch):
+        counter["n"] += 1
+        if (counter["n"] - 1) % interval != 0:
+            return None
+        params = state.ema_params if state.ema_params is not None else state.params
+        fs_vars = state.constants["first_stage"]
+        rng = jax.random.PRNGKey(1234 + epoch)
+        if domain == "md17":
+            out = evaluate_md17(ss, params, fs_vars, limited, scale=scale, k=k,
+                                rng=rng, sampling_kwargs=sampling_kwargs)
+        else:
+            out = evaluate_min_k(ss, params, fs_vars, limited, scale=scale, k=k,
+                                 num_runs=num_runs or k, rng=rng,
+                                 sampling_kwargs=sampling_kwargs)
+        ades = [v for kk, v in out.items() if kk.endswith("/ade")]
+        fdes = [v for kk, v in out.items() if kk.endswith("/fde")]
+        return {"ade": float(np.mean(ades)), "fde": float(np.mean(fdes))}
+
+    return hook

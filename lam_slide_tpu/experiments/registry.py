@@ -43,6 +43,7 @@ class ExperimentRun:
     model: Any
     meta: Dict[str, Any] = field(default_factory=dict)
     sample_batch: Any = None
+    eval_fns: Dict[str, Callable] = field(default_factory=dict)
 
 
 def _concat_loaders_batch(loader):
@@ -214,10 +215,15 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         val_every_n_epochs=1 if smoke else 10, seed=seed,
         limit_val_batches=0 if smoke else 5,  # reference limit_val_batches: 5
     )
+    from lam_slide_tpu.composites.testing import make_protocol_val_hook
+
+    # sampled val ADE/FDE each val epoch (reference second_stage/md17.py:75-113)
+    hook = make_protocol_val_hook(ss, val_loaders, "md17", scale=scale,
+                                  k=2 if smoke else 5, limit_batches=1)
     return ExperimentRun(
         name="md17_second_stage", trainer_cfg=trainer_cfg, variables=variables,
         loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders,
-        model=ss, sample_batch=batch,
+        model=ss, sample_batch=batch, eval_fns={"val_sample": hook},
         meta={"config": cfg2.__dict__, "stage": 2, "domain": "md17",
               "first_stage_run": first_stage_run},
     )
@@ -324,10 +330,16 @@ def pedestrian_second_stage(smoke=False, data_root=None, workspace="runs", seed=
     trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 3000, lr=1e-3,
                                 monitor="si_loss", val_every_n_epochs=1 if smoke else 25,
                                 seed=seed)
+    from lam_slide_tpu.composites.testing import make_protocol_val_hook
+
+    # sampled val min-ADE/FDE (reference second_stage/pedestrian.py:148-190)
+    hook = make_protocol_val_hook(ss, val_loaders, "pedestrian",
+                                  k=2 if smoke else 20,
+                                  num_runs=2 if smoke else 20, limit_batches=1)
     return ExperimentRun(
         name="pedestrian_second_stage", trainer_cfg=trainer_cfg, variables=variables,
         loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders, model=ss,
-        sample_batch=batch,
+        sample_batch=batch, eval_fns={"val_sample": hook},
         meta={"config": cfg2.__dict__, "stage": 2, "domain": "pedestrian",
               "first_stage_run": first_stage_run},
     )
@@ -428,10 +440,16 @@ def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 1000, lr=1e-3,
                                 monitor="si_loss", val_every_n_epochs=1 if smoke else 10,
                                 seed=seed)
+    from lam_slide_tpu.composites.testing import make_protocol_val_hook
+
+    # sampled val min-ADE/FDE (reference second_stage/nba.py pattern)
+    hook = make_protocol_val_hook(ss, val_loaders, "nba",
+                                  k=2 if smoke else 20,
+                                  num_runs=2 if smoke else 20, limit_batches=1)
     return ExperimentRun(
         name="nba_second_stage", trainer_cfg=trainer_cfg, variables=variables,
         loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders, model=ss,
-        sample_batch=batch,
+        sample_batch=batch, eval_fns={"val_sample": hook},
         meta={"config": cfg2.__dict__, "stage": 2, "domain": "nba", "scene": scene,
               "first_stage_run": first_stage_run},
     )

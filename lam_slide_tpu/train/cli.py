@@ -106,7 +106,8 @@ def main(argv=None):
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     register_run(args.workspace, run_id, run_dir, exp.meta)
-    trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir, mesh=mesh)
+    trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir, mesh=mesh,
+                      eval_fns=exp.eval_fns)
     state = trainer.fit(exp.variables, exp.train_loader, exp.val_loaders, resume=args.resume)
 
     if args.test and exp.meta.get("stage") == 2:
