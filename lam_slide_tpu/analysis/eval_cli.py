@@ -26,8 +26,12 @@ def main(argv=None):
     p.add_argument("--data-root", default=None, help="4AA data dir (test split)")
     p.add_argument("--num-rollouts", type=int, default=10)
     p.add_argument("--pdb-ids", nargs="*", default=None)
-    p.add_argument("--sampling-method", default="euler", choices=["euler", "heun", "dopri5"])
+    p.add_argument("--sampling-method", default="euler", choices=["euler", "heun", "dopri5"],
+                   help="reference eval protocol: dopri5 (configs/eval_peptide.yaml); "
+                        "euler/10 is the training-time val sampler")
     p.add_argument("--num-steps", type=int, default=10)
+    p.add_argument("--atol", type=float, default=1e-6)
+    p.add_argument("--rtol", type=float, default=1e-3)
     p.add_argument("--truncate", type=int, default=None)
     p.add_argument("--no-msm", action="store_true")
     p.add_argument("--no-decorr", action="store_true")
@@ -75,8 +79,12 @@ def main(argv=None):
 
     sampler = RolloutSampler(
         ss, params, fs_vars,
-        sampling_kwargs={"sampling_method": args.sampling_method,
-                         "num_steps": args.num_steps},
+        sampling_kwargs=(
+            {"sampling_method": "dopri5", "atol": args.atol, "rtol": args.rtol}
+            if args.sampling_method == "dopri5"
+            else {"sampling_method": args.sampling_method,
+                  "num_steps": args.num_steps}
+        ),
     )
 
     ds = PeptideDataset(

@@ -20,7 +20,6 @@ import numpy as np
 from jax import numpy as jnp
 
 from lam_slide_tpu.composites.evaluation import (
-    masked_ade_fde,
     mean_over_k_ade_fde,
     per_entity_min_k_ade_fde,
     zero_target_frames,

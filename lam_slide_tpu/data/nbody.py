@@ -25,7 +25,7 @@ or softened gravity) so tests and smoke runs need no download.
 
 import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import numpy as np
 

@@ -26,7 +26,7 @@ TPU-first design notes
 """
 
 import math
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 from flax import linen as nn

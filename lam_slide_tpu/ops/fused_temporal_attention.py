@@ -33,7 +33,6 @@ No mask support — the factorized DiT axes are never padded (static T/L).
 """
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,12 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lam_slide_tpu.ops.packed_attention import (
-    _segment_matrix,
-    lane_rope_tables,
-    packed_rmsnorm,
-    packed_rope,
-)
+from lam_slide_tpu.ops.packed_attention import packed_rmsnorm, packed_rope
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 

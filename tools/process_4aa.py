@@ -29,7 +29,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from lam_slide_tpu.data.peptide import parse_pdb_topology, superpose_center
+from lam_slide_tpu.data.peptide import superpose_center
 
 
 def _read_names(split: str):
