@@ -211,3 +211,27 @@ def test_likelihood_sampler_standard_normal():
     # true E[log N(x;0,I)] for d=4 is -0.5*d*(1+log 2pi) ≈ -4.676
     expected = -0.5 * 4 * (1 + math.log(2 * math.pi))
     assert float(jnp.mean(logp)) == pytest.approx(expected, rel=0.05)
+
+
+def test_dopri5_matches_scipy_rk45():
+    """Cross-check the jitted adaptive RK45 against scipy.integrate at the
+    reference eval tolerances (atol 1e-6, rtol 1e-3; configs/eval_peptide.yaml)
+    on a stiff-ish nonlinear system."""
+    from scipy.integrate import solve_ivp
+
+    from lam_slide_tpu.transport.integrators import ode_dopri5
+
+    def drift_np(t, y):
+        return np.array([-2.0 * y[0] + np.sin(5 * t), y[0] * y[1] - 0.5 * y[1]])
+
+    def drift_jax(x, tvec):
+        t = tvec.reshape(-1)[0]
+        return jnp.stack([-2.0 * x[0] + jnp.sin(5 * t),
+                          x[0] * x[1] - 0.5 * x[1]])
+
+    y0 = np.array([1.0, 0.5])
+    ref = solve_ivp(drift_np, (0.0, 1.0), y0, method="RK45",
+                    rtol=1e-6, atol=1e-9).y[:, -1]
+    out = jax.jit(lambda x: ode_dopri5(drift_jax, x, 0.0, 1.0,
+                                       rtol=1e-3, atol=1e-6))(jnp.asarray(y0))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-5)
