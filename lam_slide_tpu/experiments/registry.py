@@ -386,6 +386,7 @@ def nba_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
 
 
 def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
+                     batch_size=None,
                      scene="score", first_stage_run=None, **_):
     from lam_slide_tpu.composites.nba import (
         NBAFirstStageConfig, NBASecondStageConfig, build_nba_first_stage,
@@ -412,7 +413,7 @@ def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
               synthetic_games=4 if smoke else 64)
     train = NBADataset(scene=scene, flip=True, rand_rotation=True, **kw)
     val = NBADataset(scene=scene, **kw)
-    bs = 4 if smoke else 1024
+    bs = batch_size or (4 if smoke else 1024)
     collate = lambda b: pad_collate_temporal(b, fs_cfg.num_entities)
     train_loader = Loader(train, bs, collate, seed=seed)
     val_loaders = {scene: Loader(val, bs, collate, shuffle=False, seed=seed, drop_last=False)}

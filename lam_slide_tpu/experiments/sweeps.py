@@ -1,0 +1,97 @@
+"""Per-dataset sweep presets (reference configs/sweep/**, 19 YAMLs).
+
+The reference's sweep group pins one dataset per entry (molecule / scene)
+plus the frozen stage-1 wandb ``run_id`` it trains against
+(e.g. configs/sweep/md17/aspirin.yaml). Here a sweep entry is
+(experiment, overrides); the stage-1 lineage comes from the local run
+registry instead of wandb, supplied per sweep via ``first_stage_runs``
+(keyed by dataset name, or a single id shared across the sweep — the
+reference's md17 sweeps share one stage-1 run the same way).
+
+    from lam_slide_tpu.experiments.sweeps import SWEEPS, run_sweep
+    run_sweep("md17", workspace="runs", first_stage_runs="ab12cd34")
+
+or from the shell:  python -m lam_slide_tpu.experiments.sweeps md17 \
+    --workspace runs --first-stage-run ab12cd34 [--smoke]
+"""
+
+from typing import Dict, List, Optional, Tuple, Union
+
+# (experiment name, overrides) per dataset — mirrors the reference sweep tree:
+# md17/{aspirin..uracil,all}, pedestrian/{eth,hotel,univ,zara1,zara2,all},
+# nba/{score,rebound,score_16,all}, peptide 4AA.
+SWEEPS: Dict[str, List[Tuple[str, Dict]]] = {
+    "md17": [
+        ("md17_second_stage", {"molecule": m})
+        for m in ("aspirin", "benzene", "ethanol", "malonaldehyde",
+                  "naphthalene", "salicylic", "toluene", "uracil")
+    ],
+    "md17_all": [("md17_second_stage", {"molecule": "all"})],
+    "pedestrian": [
+        ("pedestrian_second_stage", {"scene": s})
+        for s in ("eth", "hotel", "univ", "zara1", "zara2")
+    ],
+    "nba": [
+        ("nba_second_stage", {"scene": "score"}),
+        ("nba_second_stage", {"scene": "rebound"}),
+        # score_16: the reference's reduced-batch score variant
+        ("nba_second_stage", {"scene": "score", "batch_size": 16}),
+    ],
+    "peptide": [("peptide_second_stage", {})],
+}
+
+
+def run_sweep(
+    name: str,
+    workspace: str = "runs",
+    first_stage_runs: Optional[Union[str, Dict[str, str]]] = None,
+    smoke: bool = False,
+    extra: Optional[Dict] = None,
+) -> List[str]:
+    """Run every entry of sweep ``name`` sequentially -> list of run ids.
+
+    The reference launches these as hydra multiruns over the sweep group
+    (scripts/*/second-stage.sh ``-m``); on TPU sequential runs keep one
+    chip fully utilized per run.
+    """
+    from lam_slide_tpu.experiments.registry import EXPERIMENTS
+    from lam_slide_tpu.train.trainer import Trainer
+
+    run_ids = []
+    for exp_name, overrides in SWEEPS[name]:
+        kwargs = dict(overrides)
+        dataset = kwargs.get("molecule") or kwargs.get("scene") or "all"
+        fs_run = (first_stage_runs.get(dataset)
+                  if isinstance(first_stage_runs, dict) else first_stage_runs)
+        kwargs.update(extra or {})
+        exp = EXPERIMENTS[exp_name](
+            smoke=smoke, workspace=workspace, first_stage_run=fs_run, **kwargs
+        )
+        import os
+        import uuid
+
+        run_id = uuid.uuid4().hex[:8]
+        run_dir = os.path.join(workspace, run_id)
+        trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir,
+                          eval_fns=exp.eval_fns)
+        trainer.fit(exp.variables, exp.train_loader, exp.val_loaders)
+        print(f"sweep[{name}] {exp_name} {dataset}: run_id={run_id}")
+        run_ids.append(run_id)
+    return run_ids
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sweep", choices=sorted(SWEEPS))
+    p.add_argument("--workspace", default="runs")
+    p.add_argument("--first-stage-run", default=None)
+    p.add_argument("--smoke", action="store_true")
+    args = p.parse_args(argv)
+    run_sweep(args.sweep, workspace=args.workspace,
+              first_stage_runs=args.first_stage_run, smoke=args.smoke)
+
+
+if __name__ == "__main__":
+    main()
