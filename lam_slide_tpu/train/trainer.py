@@ -67,6 +67,8 @@ class MetricLogger:
         self.quiet = quiet
 
     def log(self, record: Dict[str, Any]):
+        if self._f.closed:  # fit() reuse after a close (multirun sweeps)
+            self._f = open(self.path, "a")
         record = {
             k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
             for k, v in record.items()
@@ -142,6 +144,33 @@ class Trainer:
         from lam_slide_tpu.utils.profiling import StepTimer
 
         timer = StepTimer()
+        try:
+            state = self._fit_loop(state, train_loader, val_loaders, train_step,
+                                   eval_step, rng, ckpt, start_epoch, timer)
+        except BaseException as e:
+            # task_wrapper semantics (src/utils/utils.py:46-98): record the
+            # failure and keep the last state so sweeps/multiruns survive a
+            # failed job and can resume.
+            state = getattr(self, "_last_state", state)
+            try:  # donated buffers may already be consumed by the failed step
+                step = int(state.step)
+            except Exception:
+                step = -1
+            self.logger.log({"split": "error",
+                             "error": f"{type(e).__name__}: {e}"[:500],
+                             "step": step})
+            try:
+                ckpt.save(state)
+            except Exception:
+                pass  # the per-epoch 'last' checkpoint already covers resume
+            raise
+        finally:
+            self.logger.close()
+        return state
+
+    def _fit_loop(self, state, train_loader, val_loaders, train_step, eval_step,
+                  rng, ckpt, start_epoch, timer):
+        cfg = self.cfg
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             acc: Dict[str, list] = {}
@@ -157,6 +186,7 @@ class Trainer:
                       "train/lr": float(self._schedule(int(state.step)))}
             record.update({f"train/{k}": v for k, v in train_metrics.items()})
             self.logger.log(record)
+            self._last_state = state
 
             if val_loaders and (epoch + 1) % cfg.val_every_n_epochs == 0:
                 val_metrics = self.validate(state, val_loaders, eval_step, rng, epoch)

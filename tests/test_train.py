@@ -159,3 +159,48 @@ def test_trainer_fit_val_ckpt_resume(tmp_path):
     state2 = trainer2.fit(variables, OneBatchLoader(), {"val": OneBatchLoader()},
                           resume=True)
     assert int(state2.step) == 10
+
+
+def test_fit_failure_logs_and_saves_last(tmp_path):
+    """task_wrapper semantics: a crashing loss still leaves an error record
+    in the metrics stream and a restorable 'last' checkpoint."""
+    import json
+
+    from lam_slide_tpu.train.checkpoint import CheckpointManager
+    from lam_slide_tpu.train.trainer import Trainer, TrainerConfig
+
+    dim = 4
+
+    def loss_fn(params, constants, batch, rng, train):
+        pred = batch["x"] @ params["w"]
+        return jnp.mean(pred**2), {}
+
+    variables = {"params": {"w": jnp.ones((dim, 1))}, "constants": {}}
+
+    class Batches:
+        """Loader that crashes mid-epoch on its second epoch."""
+
+        def __init__(self):
+            self.epoch = 0
+
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            self.epoch += 1
+            rng = np.random.default_rng(0)
+            for i in range(2):
+                if self.epoch > 1 and i == 1:
+                    raise RuntimeError("boom")
+                yield {"x": jnp.asarray(rng.standard_normal((3, dim)), jnp.float32)}
+
+    cfg = TrainerConfig(max_epochs=5, lr=1e-2, val_every_n_epochs=100, seed=0)
+    trainer = Trainer(cfg, loss_fn, str(tmp_path / "run"), quiet=True)
+    with pytest.raises(RuntimeError, match="boom"):
+        trainer.fit(variables, Batches())
+
+    recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    errors = [r for r in recs if r.get("split") == "error"]
+    assert errors and "boom" in errors[0]["error"]
+    ckpt = CheckpointManager(str(tmp_path / "run"), monitor="loss")
+    assert ckpt.has("last")  # resumable after the crash
