@@ -120,3 +120,53 @@ def test_process_4aa_reads_xtc(tmp_path):
     )
     data = np.load(tmp_path / "out" / "TEST-traj-arrays.npz")
     assert data["positions"].shape == (3, n_atoms, 3)
+
+
+class TestFuzz:
+    """Property-based round-trips: arbitrary sizes/scales/precisions."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_roundtrip(self, tmp_path, seed):
+        from lam_slide_tpu.data.xtc import read_xtc, write_xtc
+
+        rng = np.random.default_rng(seed)
+        t = int(rng.integers(1, 5))
+        n = int(rng.integers(1, 400))
+        spread = float(10.0 ** rng.uniform(-2, 2))
+        prec = float(10.0 ** rng.integers(1, 5))
+        pos = (rng.standard_normal((t, n, 3)) * spread).astype(np.float32)
+        if rng.random() < 0.5 and n > 4:  # clustered halves (mixed run lengths)
+            pos[:, n // 2:] = pos[:, : n - n // 2] + 0.01 * spread * rng.standard_normal(
+                (t, n - n // 2, 3)).astype(np.float32)
+        path = str(tmp_path / f"f{seed}.xtc")
+        write_xtc(path, pos, precision=prec)
+        dec, _ = read_xtc(path)
+        assert dec.shape == pos.shape
+        bound = (0.5 / prec) if n > 9 else 0.0
+        # int32 quantization caps representable magnitude; skip pathological
+        # spread/precision combos the format itself cannot hold
+        if spread * prec < 2**30:
+            assert np.abs(dec - pos).max() <= bound * 1.5 + 1e-7
+
+    def test_hypothesis_small_systems(self, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from lam_slide_tpu.data.xtc import read_xtc, write_xtc
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            n=st.integers(1, 60),
+            t=st.integers(1, 3),
+            seed=st.integers(0, 2**16),
+        )
+        def run(n, t, seed):
+            rng = np.random.default_rng(seed)
+            pos = (rng.standard_normal((t, n, 3)) * 2).astype(np.float32)
+            path = str(tmp_path / "h.xtc")
+            write_xtc(path, pos, precision=1000.0)
+            dec, _ = read_xtc(path)
+            bound = 5.5e-4 if n > 9 else 1e-7
+            assert np.abs(dec - pos).max() <= bound
+
+        run()
