@@ -25,6 +25,32 @@ class Dataset:
         raise NotImplementedError  # pragma: no cover - protocol
 
 
+def _is_canonical_collate(collate_fn) -> bool:
+    """True for the padded collates (incl. functools.partial wrappers) whose
+    semantics every Dataset.sample_batch reproduces."""
+    import functools as _ft
+
+    from lam_slide_tpu.data import collate as _collate_mod
+
+    fn = collate_fn
+    while isinstance(fn, _ft.partial):
+        fn = fn.func
+    canonical = {
+        _collate_mod.pad_collate_temporal,
+        _collate_mod.pad_collate_temporal_v2,
+    }
+    if fn in canonical:
+        return True
+    # lambdas that close over a canonical collate (the registry's style:
+    # ``lambda b: pad_collate_temporal(b, ne)``)
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return False
+    referenced = set(code.co_names) | set(code.co_freevars)
+    return bool(referenced & {"pad_collate_temporal", "pad_collate_temporal_v2",
+                              "pad_collate_temporal_fn", "collate"})
+
+
 class Loader:
     def __init__(
         self,
@@ -36,6 +62,7 @@ class Loader:
         drop_last: bool = True,
         prefetch: int = 2,
         transform: Optional[Callable] = None,
+        fast_path: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,6 +72,7 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.transform = transform
+        self.fast_path = fast_path
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -68,10 +96,15 @@ class Loader:
 
         # Datasets may provide a whole-batch fast path (sample_batch: gather +
         # pad + augment + mask in a few array ops / native engine calls, see
-        # data/batch_assembly.py) — semantically equal to sample()+collate,
-        # pinned by tests; RNG streams differ, so a given seed draws different
-        # (equally distributed) augmentations on the two paths.
+        # data/batch_assembly.py) — semantically equal to sample()+collate
+        # for the CANONICAL padded collates, pinned by tests; RNG streams
+        # differ, so a given seed draws different (equally distributed)
+        # augmentations on the two paths. Custom collate_fns disable it
+        # unless fast_path=True is passed explicitly.
         batched = getattr(self.dataset, "sample_batch", None)
+        if batched is not None and self.fast_path is not True:
+            if self.fast_path is False or not _is_canonical_collate(self.collate_fn):
+                batched = None
 
         def produce(out_q: queue.Queue):
             try:

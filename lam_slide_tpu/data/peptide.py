@@ -269,3 +269,4 @@ class PeptideDataset(Dataset):
             "torsions_mask": traj["torsions_mask"][sl],
             "entities": np.broadcast_to(entities, (t, n_res)).copy(),
         }
+

@@ -211,8 +211,9 @@ class TestDatasetFastPaths:
         ds.sample_batch = counting
         # collate_fn=None: the per-sample path would crash — consuming a batch
         # proves the Loader routed through sample_batch (the prefetch thread
-        # may assemble more than one batch ahead).
-        loader = Loader(ds, batch_size=8, collate_fn=None, seed=0)
+        # may assemble more than one batch ahead). fast_path=True overrides
+        # the canonical-collate gate.
+        loader = Loader(ds, batch_size=8, collate_fn=None, seed=0, fast_path=True)
         batch = next(iter(loader))
         assert calls["n"] >= 1
         assert batch["pos"].shape == (8, 8, 11, 2)
@@ -233,3 +234,23 @@ def test_native_vs_numpy_identical():
     finally:
         native._lib, native._tried = real_lib, True
     np.testing.assert_array_equal(a, b)
+
+
+
+
+
+
+
+
+def test_loader_custom_collate_disables_fast_path():
+    """A non-canonical collate must route through the per-sample path (its
+    semantics may differ from the dataset's sample_batch)."""
+    ds = NBADataset(scene="score", first_stage=False, num_frames=8,
+                    synthetic_games=4)
+
+    def custom(samples):  # unpadded stack — different layout than sample_batch
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    loader = Loader(ds, batch_size=4, collate_fn=custom, seed=0)
+    batch = next(iter(loader))
+    assert "attention_mask" not in batch  # custom collate's layout, verbatim
