@@ -287,7 +287,15 @@ int32_t xtc_decode_frame(const uint8_t* data, int64_t len, int64_t* offset,
   for (int k = 0; k < 3; k++) maxint[k] = r.read_i32();
   int32_t smallidx = r.read_i32();
   int32_t nbytes = r.read_i32();
+  // corrupt-input guards: every violation below would otherwise be an
+  // out-of-bounds magicints read, a zero division in decodeints, or a
+  // runaway loop — fail as a decode error instead of crashing the process
   if (!r.ok || nbytes < 0 || r.pos + nbytes > len) return -1;
+  if (!(precision > 0.0f) || smallidx < FIRSTIDX || smallidx >= LASTIDX) return -1;
+  for (int k = 0; k < 3; k++) {
+    if (maxint[k] < minint[k]) return -1;
+    if ((int64_t)maxint[k] - minint[k] >= (int64_t)INT32_MAX) return -1;
+  }
 
   uint32_t sizeint[3], bitsizeint[3] = {0, 0, 0};
   for (int k = 0; k < 3; k++) sizeint[k] = (uint32_t)(maxint[k] - minint[k]) + 1;
@@ -335,6 +343,9 @@ int32_t xtc_decode_frame(const uint8_t* data, int64_t len, int64_t* offset,
       run -= is_smaller;
       is_smaller--;
     }
+    if (run < 0 || run > 8 * 3 || i + run / 3 > lsize) return -1;
+    if (smallidx + is_smaller < FIRSTIDX || smallidx + is_smaller >= LASTIDX)
+      return -1;
     if (run > 0) {
       for (int k = 0; k < run; k += 3) {
         decodeints(br, 3, smallidx, sizesmall, thiscoord);

@@ -170,3 +170,26 @@ class TestFuzz:
             assert np.abs(dec - pos).max() <= bound
 
         run()
+
+
+def test_corruption_fuzz_never_crashes(tmp_path):
+    """Random in-place byte corruption must yield a decode error or a decoded
+    array — never a process crash (the decoder guards every size/index the
+    format supplies before using it)."""
+    from lam_slide_tpu.data.xtc import read_xtc, write_xtc
+
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "base.xtc")
+    write_xtc(path, _traj(rng, 2, 64))
+    base = np.fromfile(path, np.uint8)
+    for trial in range(60):
+        corrupt = base.copy()
+        n_flips = int(rng.integers(1, 6))
+        pos = rng.integers(4, len(base), n_flips)  # keep the magic intact
+        corrupt[pos] = rng.integers(0, 256, n_flips).astype(np.uint8)
+        cpath = str(tmp_path / "c.xtc")
+        corrupt.tofile(cpath)
+        try:
+            read_xtc(cpath)
+        except ValueError:
+            pass  # decode error is the acceptable failure mode
