@@ -158,3 +158,21 @@ def test_data_utils_parity():
     residues = [("ALA", ["N", "CA", "C", "O", "CB"]), ("CYS", ["N", "CA", "SG"])]
     enc = augment.encode_atoms(residues)
     np.testing.assert_array_equal(enc, [1, 0, 0, 2, 0, 1, 0, 3])
+
+
+def test_canonical_collate_gate():
+    """Loader fast-path gate: canonical padded collates (direct, partial,
+    lambda-wrapped) pass; arbitrary collates don't."""
+    import functools
+
+    from lam_slide_tpu.data.collate import (pad_collate_temporal,
+                                            pad_collate_temporal_v2)
+    from lam_slide_tpu.data.loader import _is_canonical_collate
+
+    assert _is_canonical_collate(pad_collate_temporal)
+    assert _is_canonical_collate(functools.partial(pad_collate_temporal_v2,
+                                                   num_entities=8))
+    assert _is_canonical_collate(lambda b: pad_collate_temporal(b, 11))
+    assert not _is_canonical_collate(lambda b: {k: np.stack([s[k] for s in b])
+                                                for k in b[0]})
+    assert not _is_canonical_collate(None)
