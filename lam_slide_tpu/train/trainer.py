@@ -144,6 +144,7 @@ class Trainer:
         from lam_slide_tpu.utils.profiling import StepTimer
 
         timer = StepTimer()
+        self._last_state = state  # fresh per fit (Trainer reuse in sweeps)
         try:
             state = self._fit_loop(state, train_loader, val_loaders, train_step,
                                    eval_step, rng, ckpt, start_epoch, timer)
