@@ -25,30 +25,31 @@ class Dataset:
         raise NotImplementedError  # pragma: no cover - protocol
 
 
-def _is_canonical_collate(collate_fn) -> bool:
-    """True for the padded collates (incl. functools.partial wrappers) whose
-    semantics every Dataset.sample_batch reproduces."""
+def _is_canonical_collate(collate_fn, dataset) -> bool:
+    """Explicit identity contract (no code-object sniffing): the fast path
+    is taken only for the canonical padded collates themselves, or
+    ``functools.partial`` wrappers of them whose bound ``num_entities`` (if
+    any) matches the dataset's own. Anything else — including a lambda that
+    merely *calls* a canonical collate, whose wrapping semantics we cannot
+    see — routes through the per-sample path; opt in explicitly with
+    ``fast_path=True``."""
     import functools as _ft
 
     from lam_slide_tpu.data import collate as _collate_mod
 
-    fn = collate_fn
-    while isinstance(fn, _ft.partial):
-        fn = fn.func
-    canonical = {
+    canonical = (
         _collate_mod.pad_collate_temporal,
         _collate_mod.pad_collate_temporal_v2,
-    }
-    if fn in canonical:
-        return True
-    # lambdas that close over a canonical collate (the registry's style:
-    # ``lambda b: pad_collate_temporal(b, ne)``)
-    code = getattr(fn, "__code__", None)
-    if code is None:
+    )
+    fn, bound_ne = collate_fn, None
+    while isinstance(fn, _ft.partial):
+        if "num_entities" in fn.keywords:
+            bound_ne = fn.keywords["num_entities"]
+        fn = fn.func
+    if not any(fn is c for c in canonical):
         return False
-    referenced = set(code.co_names) | set(code.co_freevars)
-    return bool(referenced & {"pad_collate_temporal", "pad_collate_temporal_v2",
-                              "pad_collate_temporal_fn", "collate"})
+    ds_ne = getattr(dataset, "num_entities", None)
+    return bound_ne is None or ds_ne is None or bound_ne == ds_ne
 
 
 class Loader:
@@ -103,7 +104,8 @@ class Loader:
         # unless fast_path=True is passed explicitly.
         batched = getattr(self.dataset, "sample_batch", None)
         if batched is not None and self.fast_path is not True:
-            if self.fast_path is False or not _is_canonical_collate(self.collate_fn):
+            if self.fast_path is False or not _is_canonical_collate(
+                    self.collate_fn, self.dataset):
                 batched = None
 
         def produce(out_q: queue.Queue):

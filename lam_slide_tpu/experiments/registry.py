@@ -12,6 +12,7 @@ wandb run-ID lookup, src/utils/utils.py:180-199) and load the *EMA* params,
 matching ``load_ema_weights`` + ``freeze()`` (second_stage/md17.py:46-51).
 """
 
+import functools
 import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional
@@ -127,7 +128,7 @@ def md17_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         smoke, data_root, True, molecules, cfg.num_entities, 30, MD17_SCALES
     )
     bs = 16 if smoke else 256
-    collate = lambda b: pad_collate(b, cfg.num_entities)
+    collate = functools.partial(pad_collate, num_entities=cfg.num_entities)
     train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
     val_loaders = {
         m: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
@@ -179,7 +180,7 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         smoke, data_root, False, molecules, fs_cfg.num_entities, 30, MD17_SCALES
     )
     bs = 4 if smoke else 64
-    collate = lambda b: pad_collate_temporal(b, fs_cfg.num_entities)
+    collate = functools.partial(pad_collate_temporal, num_entities=fs_cfg.num_entities)
     train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
     val_loaders = {
         m: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
@@ -255,7 +256,7 @@ def pedestrian_first_stage(smoke=False, data_root=None, workspace="runs", seed=0
     # reference uses the test split for val (pedestrian.py:198-204)
     val_sets = {s: PedestrianDataset(scene=s, phase="test", **kw) for s in scenes}
     bs = 16 if smoke else 512
-    collate = lambda b: pad_collate(b, cfg.num_entities)
+    collate = functools.partial(pad_collate, num_entities=cfg.num_entities)
     train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
     val_loaders = {s: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
                    for s, ds in val_sets.items()}
@@ -302,7 +303,7 @@ def pedestrian_second_stage(smoke=False, data_root=None, workspace="runs", seed=
                   for s in scenes]
     val_sets = {s: PedestrianDataset(scene=s, phase="test", **kw) for s in scenes}
     bs = 4 if smoke else 256
-    collate = lambda b: pad_collate_temporal(b, fs_cfg.num_entities)
+    collate = functools.partial(pad_collate_temporal, num_entities=fs_cfg.num_entities)
     train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
     val_loaders = {s: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
                    for s, ds in val_sets.items()}
@@ -369,7 +370,7 @@ def nba_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     train = NBADataset(scene=scene, flip=True, rand_rotation=True, **kw)
     val = NBADataset(scene=scene, **kw)
     bs = 8 if smoke else 1024
-    collate = lambda b: pad_collate(b, cfg.num_entities)
+    collate = functools.partial(pad_collate, num_entities=cfg.num_entities)
     train_loader = Loader(train, bs, collate, seed=seed, drop_last=False)
     val_loaders = {scene: Loader(val, bs, collate, shuffle=False, seed=seed, drop_last=False)}
     batch = _concat_loaders_batch(train_loader)
@@ -414,7 +415,7 @@ def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     train = NBADataset(scene=scene, flip=True, rand_rotation=True, **kw)
     val = NBADataset(scene=scene, **kw)
     bs = batch_size or (4 if smoke else 1024)
-    collate = lambda b: pad_collate_temporal(b, fs_cfg.num_entities)
+    collate = functools.partial(pad_collate_temporal, num_entities=fs_cfg.num_entities)
     train_loader = Loader(train, bs, collate, seed=seed)
     val_loaders = {scene: Loader(val, bs, collate, shuffle=False, seed=seed, drop_last=False)}
     batch = _concat_loaders_batch(train_loader)
