@@ -50,6 +50,15 @@ def main(argv=None):
         help="after training, run the domain test protocol on the eval loaders "
              "(mean-K ADE/FDE for md17; per-entity min-K [+FPC] for pedestrian/nba)",
     )
+    parser.add_argument(
+        "--test-only", action="store_true",
+        help="skip training: restore --run-id's checkpoint and run the domain "
+             "test protocol (the scripts/nba/nba_qd.py standalone test runner)",
+    )
+    parser.add_argument(
+        "--test-ckpt", choices=("last", "best"), default="last",
+        help="which checkpoint --test-only restores (src/train.py test_ckpt)",
+    )
     args = parser.parse_args(argv)
 
     if args.devices:
@@ -72,6 +81,20 @@ def main(argv=None):
     run_id = args.run_id or secrets.token_hex(4)
     run_dir = os.path.join(args.workspace, run_id)
     print(f"experiment={args.experiment} run_id={run_id} devices={jax.device_count()}")
+
+    if args.test_only:
+        # Standalone test-from-checkpoint (scripts/nba/nba_qd.py semantics):
+        # resolve the finished run, recover its stage lineage from the
+        # registry, restore EMA weights, and run only the test protocol.
+        from lam_slide_tpu.train.checkpoint import resolve_run
+
+        if not args.run_id:
+            raise SystemExit("--test-only requires --run-id of a finished run")
+        info = resolve_run(args.workspace, run_id)
+        run_dir = info["run_dir"]
+        stored = info.get("config", {})
+        if args.first_stage_run is None:
+            args.first_stage_run = stored.get("first_stage_run")
 
     exp = build_experiment(
         args.experiment,
@@ -105,46 +128,67 @@ def main(argv=None):
         mesh = make_mesh()
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
+    if args.test_only:
+        from lam_slide_tpu.experiments.registry import load_checkpoint_raw
+
+        raw = load_checkpoint_raw(run_dir, which=args.test_ckpt)
+        params = raw["ema_params"] if raw.get("ema_params") is not None else raw["params"]
+        fs_vars = (raw.get("constants") or {}).get("first_stage")
+        _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir)
+        print(f"done: test-only step={int(raw['step'])} run_dir={run_dir}")
+        return 0
+
     register_run(args.workspace, run_id, run_dir, exp.meta)
     trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir, mesh=mesh,
                       eval_fns=exp.eval_fns)
     state = trainer.fit(exp.variables, exp.train_loader, exp.val_loaders, resume=args.resume)
 
-    if args.test and exp.meta.get("stage") == 2:
+    if args.test:
         # Reference semantics: test on EMA weights, single program, fp32
         # sampling (src/train.py:100-118). K/num_runs per domain protocol.
-        import json
-
-        from lam_slide_tpu.composites.testing import evaluate_md17, evaluate_min_k
-
         params = state.ema_params if state.ema_params is not None else state.params
-        fs_vars = state.constants["first_stage"]
-        cfg = exp.meta.get("config", {})
-        k = int(cfg.get("K", 5))
-        if args.smoke:
-            k = min(k, 2)
-        if exp.meta["domain"] == "md17":
-            from lam_slide_tpu.experiments.registry import MD17_SCALES
-
-            metrics = evaluate_md17(exp.model, params, fs_vars, exp.val_loaders,
-                                    scale=MD17_SCALES[args.molecule], k=k,
-                                    mesh=mesh if args.test_mesh else None)
-        elif exp.meta["domain"] in ("pedestrian", "nba"):
-            num_runs = min(int(cfg.get("num_runs", k)), k)
-            metrics = evaluate_min_k(exp.model, params, fs_vars, exp.val_loaders,
-                                     k=k, num_runs=num_runs,
-                                     post_process=bool(cfg.get("post_process", False)),
-                                     mesh=mesh if args.test_mesh else None)
-        else:
-            metrics = {}
-            print("use lam_slide_tpu.analysis.eval_cli for the peptide eval pipeline")
-        if metrics:
-            with open(os.path.join(run_dir, "test_metrics.json"), "w") as f:
-                json.dump(metrics, f, indent=2)
-            print(json.dumps(metrics))
+        fs_vars = (state.constants or {}).get("first_stage")
+        _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir)
 
     print(f"done: step={int(state.step)} run_dir={run_dir}")
     return 0
+
+
+def _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir):
+    """Domain test protocol on restored/trained weights (stage 2 only):
+    mean-K ADE/FDE for md17 (second_stage/md17.py:139-171), per-entity
+    min-K [+FPC] for pedestrian/nba (second_stage/pedestrian.py:149-239)."""
+    import json
+    import os
+
+    if exp.meta.get("stage") != 2:
+        print("test protocols are defined for stage-2 experiments only")
+        return
+    from lam_slide_tpu.composites.testing import evaluate_md17, evaluate_min_k
+
+    cfg = exp.meta.get("config", {})
+    k = int(cfg.get("K", 5))
+    if args.smoke:
+        k = min(k, 2)
+    if exp.meta["domain"] == "md17":
+        from lam_slide_tpu.experiments.registry import MD17_SCALES
+
+        metrics = evaluate_md17(exp.model, params, fs_vars, exp.val_loaders,
+                                scale=MD17_SCALES[args.molecule], k=k,
+                                mesh=mesh if args.test_mesh else None)
+    elif exp.meta["domain"] in ("pedestrian", "nba"):
+        num_runs = min(int(cfg.get("num_runs", k)), k)
+        metrics = evaluate_min_k(exp.model, params, fs_vars, exp.val_loaders,
+                                 k=k, num_runs=num_runs,
+                                 post_process=bool(cfg.get("post_process", False)),
+                                 mesh=mesh if args.test_mesh else None)
+    else:
+        metrics = {}
+        print("use lam_slide_tpu.analysis.eval_cli for the peptide eval pipeline")
+    if metrics:
+        with open(os.path.join(run_dir, "test_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics))
 
 
 if __name__ == "__main__":

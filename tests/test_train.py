@@ -204,3 +204,35 @@ def test_fit_failure_logs_and_saves_last(tmp_path):
     assert errors and "boom" in errors[0]["error"]
     ckpt = CheckpointManager(str(tmp_path / "run"), monitor="loss")
     assert ckpt.has("last")  # resumable after the crash
+
+
+def test_cli_test_only_from_checkpoint(tmp_path, monkeypatch):
+    """Standalone test-from-checkpoint (scripts/nba/nba_qd.py semantics,
+    src/train.py:100-105 test_ckpt): train a smoke two-stage NBA run via the
+    CLI, then re-test it with --test-only without retraining."""
+    import json
+
+    from lam_slide_tpu.train.cli import main
+
+    ws = str(tmp_path / "ws")
+    monkeypatch.chdir(tmp_path)
+
+    rc = main(["--experiment", "nba_first_stage", "--smoke", "--workspace", ws,
+               "--run-id", "s1", "--no-mesh"])
+    assert rc == 0
+    rc = main(["--experiment", "nba_second_stage", "--smoke", "--workspace", ws,
+               "--run-id", "s2", "--first-stage-run", "s1", "--no-mesh",
+               "--test"])
+    assert rc == 0
+    trained = json.load(open(tmp_path / "ws" / "s2" / "test_metrics.json"))
+    assert np.isfinite(trained["test/score/ade"])
+
+    # wipe the in-run artifact, then re-test from the saved checkpoint only;
+    # --first-stage-run is recovered from the registry, not passed again
+    (tmp_path / "ws" / "s2" / "test_metrics.json").unlink()
+    rc = main(["--experiment", "nba_second_stage", "--smoke", "--workspace", ws,
+               "--run-id", "s2", "--no-mesh", "--test-only",
+               "--test-ckpt", "last"])
+    assert rc == 0
+    retested = json.load(open(tmp_path / "ws" / "s2" / "test_metrics.json"))
+    assert np.isfinite(retested["test/score/ade"])
