@@ -6,11 +6,15 @@ Numpy reimplementation of the pyemma pipeline the reference drives
 states, coarse MSM over metastable assignments, and the metastable
 occupation probabilities whose JSD is the headline 4AA MSM metric.
 
-Estimation detail: pyemma's ``estimate_markov_model`` performs reversible
-MLE; we use the standard symmetrized-count approximation
-C ← (C + Cᵀ)/2 — identical stationary behavior for the well-sampled
-reference trajectories this metric is computed on. PCCA+ follows
-Deuflhard–Weber (2005) inner-simplex optimization-free variant.
+Estimation detail: like pyemma's ``estimate_markov_model``, the default
+estimator is the REVERSIBLE MAXIMUM LIKELIHOOD transition matrix, computed
+by the standard fixed-point iteration on the symmetric flow matrix
+(Trendelkamp-Schroer et al., J. Chem. Phys. 143, 174101 (2015), eq. 31):
+
+    x_ij ← (C_ij + C_ji) / (c_i/x_i + c_j/x_j),   T_ij = x_ij / x_i,
+
+which maximizes Σ C_ij log T_ij over detailed-balance transition matrices.
+PCCA+ follows the Deuflhard–Weber (2005) inner-simplex variant.
 """
 
 from dataclasses import dataclass
@@ -62,16 +66,45 @@ def count_matrix(dtraj: np.ndarray, n_states: int, lag: int) -> np.ndarray:
 def transition_matrix(
     dtraj: np.ndarray, n_states: int, lag: int, reversible: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """→ (T over the largest connected active set, active_set indices)."""
+    """→ (T over the largest connected active set, active_set indices).
+
+    reversible=True → reversible MLE (pyemma estimate_markov_model
+    semantics); False → plain row-normalized counts."""
     c = count_matrix(dtraj, n_states, lag)
-    if reversible:
-        c = (c + c.T) / 2.0
-    # largest connected set under the symmetrized counts
-    active = _largest_connected_set(c > 0)
+    # largest connected set under the symmetrized counts (the reversible
+    # likelihood only couples states through C + Cᵀ)
+    active = _largest_connected_set((c + c.T) > 0)
     c = c[np.ix_(active, active)]
-    rows = c.sum(1)
-    t = c / np.maximum(rows[:, None], 1e-12)
+    if reversible:
+        t = reversible_mle(c)
+    else:
+        rows = c.sum(1)
+        t = c / np.maximum(rows[:, None], 1e-12)
     return t, active
+
+
+def reversible_mle(c: np.ndarray, tol: float = 1e-12, max_iter: int = 100000) -> np.ndarray:
+    """Reversible maximum-likelihood transition matrix from counts C.
+
+    Fixed-point iteration on the symmetric flows x_ij (see module
+    docstring); the stationary distribution is the row sum of the
+    converged x. Zeros of C + Cᵀ stay exactly zero.
+    """
+    tiny = 1e-300
+    csym = c + c.T
+    rows = c.sum(1)
+    x = csym / max(csym.sum(), tiny)
+    for _ in range(max_iter):
+        xi = x.sum(1)
+        q = rows / np.maximum(xi, tiny)
+        x_new = csym / np.maximum(q[:, None] + q[None, :], tiny)
+        x_new /= max(x_new.sum(), tiny)
+        delta = np.abs(x_new - x).max()
+        x = x_new
+        if delta < tol:
+            break
+    xi = x.sum(1)
+    return x / np.maximum(xi[:, None], tiny)
 
 
 def _largest_connected_set(adj: np.ndarray) -> np.ndarray:

@@ -216,7 +216,7 @@ class ParallelMLPAttention(nn.Module):
             # head-major copies but the per-head VMEM budget forces small
             # query blocks — measured slower than the head-major flash at
             # the 4AA shapes, kept for larger-head-dim configurations.
-            from lam_slide_tpu.ops.fused_temporal_attention import (
+            from lam_slide_tpu.ops.ablations.fused_temporal_attention import (
                 _reference_packed,
                 fused_temporal_attention,
             )

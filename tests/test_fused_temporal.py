@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from lam_slide_tpu.models.latent_dit import rope_cos_sin
-from lam_slide_tpu.ops.fused_temporal_attention import (
+from lam_slide_tpu.ops.ablations.fused_temporal_attention import (
     _reference_packed,
     fused_temporal_attention,
 )
