@@ -294,11 +294,17 @@ class LatentDiTLayer(nn.Module):
         spatial = ParallelMLPAttention(**common, name="spatial_block")
         temporal = ParallelMLPAttention(**common, name="temporal_block")
 
-        h = modulate(layer_norm(x, eps=1e-6), mod1.shift, mod1.scale)
-        h = spatial(h.reshape(b * t, l, d), sp_cos, sp_sin).reshape(b, t, l, d)
-        x = x + mod1.gate.astype(x.dtype) * h
+        from lam_slide_tpu.ops.fused_adaln import (
+            adaln_modulate, residual_adaln_modulate,
+        )
 
-        h = modulate(layer_norm(x, eps=1e-6), mod2.shift, mod2.scale)
+        # LN + AdaLN-modulate and the mid-layer residual→LN→modulate chain
+        # run as single-pass Pallas kernels on TPU (ops/fused_adaln.py);
+        # same math as modulate(layer_norm(x)) / x + gate·h.
+        h = adaln_modulate(x, mod1.shift, mod1.scale)
+        h = spatial(h.reshape(b * t, l, d), sp_cos, sp_sin).reshape(b, t, l, d)
+        x, h = residual_adaln_modulate(x, h, mod1.gate, mod2.shift, mod2.scale)
+
         h = h.transpose(0, 2, 1, 3).reshape(b * l, t, d)
         h = temporal(h, tm_cos, tm_sin).reshape(b, l, t, d).transpose(0, 2, 1, 3)
         x = x + mod2.gate.astype(x.dtype) * h
@@ -476,7 +482,9 @@ class LatentDiT(nn.Module):
             name="adaLN_out",
         )(nn.silu(vec))
         shift, scale = jnp.split(mod[:, None, None, :], 2, axis=-1)
-        h = modulate(layer_norm(h, eps=1e-6), shift, scale)
+        from lam_slide_tpu.ops.fused_adaln import adaln_modulate
+
+        h = adaln_modulate(h, shift, scale)
         out_kinit = inits.zeros if self.reference_init else torch_linear_init
         return nn.Dense(
             self.in_dim, kernel_init=out_kinit, bias_init=inits.zeros, dtype=self.dtype,
