@@ -138,6 +138,22 @@ class MLPEmbedder(nn.Module):
         return nn.Dense(self.hidden_dim, kernel_init=kinit, dtype=self.dtype, name="out_layer")(x)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params ({kernel, bias}) and returns them
+    raw — so fused kernels can consume the weights directly while the param
+    tree stays checkpoint-compatible with nn.Dense."""
+
+    features: int
+    kernel_init: any
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", inits.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ParallelMLPAttention(nn.Module):
     """Fused attention ∥ MLP block (reference ParallelMLPAttentionV2).
 
@@ -184,15 +200,37 @@ class ParallelMLPAttention(nn.Module):
         # applied as four matmuls on weight slices: slicing the [N, 2688]
         # activation into q/k/v/mlp materializes three ~50MB copies per block
         # (profiled ~0.8ms each at B=32); slicing the weight is free.
-        w1 = self.param(
+        w1_raw = self.param(
             "linear1",
             lambda key, shape: kinit(key, shape, jnp.float32),
             (x.shape[-1], 3 * d + mlp_hidden),
         )
-        b1 = self.param("linear1_bias", inits.zeros, (3 * d + mlp_hidden,), jnp.float32)
-        w1 = w1.astype(self.dtype)
-        b1 = b1.astype(self.dtype)
+        b1_raw = self.param("linear1_bias", inits.zeros, (3 * d + mlp_hidden,), jnp.float32)
+        # QKNorm (per-head RMS, scale [dh] shared across heads) in packed lanes
+        q_scale = self.param("q_norm_scale", nn.initializers.ones, (dh,), jnp.float32)
+        k_scale = self.param("k_norm_scale", nn.initializers.ones, (dh,), jnp.float32)
+        w2_raw, b2_raw = _DenseParams(features=d, kernel_init=kinit,
+                                      name="linear2")(d + mlp_hidden)
+
+        b, n = x.shape[0], x.shape[1]
+        scale = self.qk_scale if self.qk_scale is not None else dh**-0.5
         xd = x.astype(self.dtype)
+
+        if (self.attention_mode != "linear" and n <= self.packed_threshold
+                and cos is not None):
+            # One-pass Pallas kernel for the whole small-L spatial block:
+            # linear1 → QKNorm → RoPE → packed attention → gelu → linear2
+            # in a single HBM pass (ops/fused_spatial_block.py).
+            from lam_slide_tpu.ops.fused_spatial_block import fused_spatial_block
+            from lam_slide_tpu.ops.packed_attention import lane_rope_tables
+
+            cos_l, sin_l = lane_rope_tables(cos, sin, h)
+            return fused_spatial_block(
+                xd, w1_raw, b1_raw, q_scale, k_scale, w2_raw, b2_raw,
+                cos_l, sin_l, h, scale=float(scale))
+
+        w1 = w1_raw.astype(self.dtype)
+        b1 = b1_raw.astype(self.dtype)
 
         def proj(lo, hi):
             return jax.lax.dot_general(
@@ -204,12 +242,6 @@ class ParallelMLPAttention(nn.Module):
         v = proj(2 * d, 3 * d)
         mlp = proj(3 * d, 3 * d + mlp_hidden)
 
-        # QKNorm (per-head RMS, scale [dh] shared across heads) in packed lanes
-        q_scale = self.param("q_norm_scale", nn.initializers.ones, (dh,), jnp.float32)
-        k_scale = self.param("k_norm_scale", nn.initializers.ones, (dh,), jnp.float32)
-
-        b, n = x.shape[0], x.shape[1]
-        scale = self.qk_scale if self.qk_scale is not None else dh**-0.5
         long_axis = self.attention_mode != "linear" and n > self.packed_threshold
         if long_axis and cos is not None and self.fused_temporal:
             # Experimental packed-layout attention kernel (opt-in): avoids
@@ -255,7 +287,12 @@ class ParallelMLPAttention(nn.Module):
                 attn = ah.transpose(0, 2, 1, 3).reshape(b, n, d)
 
         out = jnp.concatenate([attn, nn.gelu(mlp, approximate=False)], axis=-1)
-        return nn.Dense(d, kernel_init=kinit, bias_init=inits.zeros, dtype=self.dtype, name="linear2")(out)
+        # manual apply of the linear2 params — identical math to nn.Dense
+        # with dtype=self.dtype (cast params, dot, add bias)
+        return jax.lax.dot_general(
+            out, w2_raw.astype(self.dtype),
+            (((out.ndim - 1,), (0,)), ((), ())),
+        ) + b2_raw.astype(self.dtype)
 
 
 class LatentDiTLayer(nn.Module):
