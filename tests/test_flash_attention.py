@@ -142,3 +142,37 @@ class TestPallasBackward:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, q) * scale
         ref = jax.scipy.special.logsumexp(logits, axis=-1)
         np.testing.assert_allclose(lse, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestShortGroupedBackward:
+    """The grouped whole-attention-in-VMEM backward for short sequences
+    (the MD17 bh=30k/N=192 regime), interpreter-run: exact fp32 parity
+    with jax.grad of the XLA attention."""
+
+    @pytest.mark.parametrize(
+        "bh,n,d,group",
+        [
+            (6, 64, 16, 8),     # bh not a multiple of group (padding)
+            (16, 192, 24, 8),   # the MD17 spatial shape (odd head dim)
+            (4, 33, 16, 4),     # odd sequence length
+        ],
+    )
+    def test_matches_xla_grads(self, bh, n, d, group):
+        from lam_slide_tpu.ops.flash_attention import (
+            _flash_backward_short, _flash_forward)
+
+        key = jax.random.PRNGKey(7)
+        b, h = 2, bh // 2
+        q = jax.random.normal(key, (b, h, n, d))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, n, d))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, n, d))
+        g = jax.random.normal(jax.random.fold_in(key, 3), (b, h, n, d))
+        scale = float(d**-0.5)
+        out, lse = _flash_forward(q, k, v, None, scale, with_lse=True)
+        dq, dk, dv = _flash_backward_short(q, k, v, out, lse, g, scale,
+                                           group=group)
+        f = lambda q_, k_, v_: jnp.sum(xla_attention(q_, k_, v_) * g)
+        rq, rk, rv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(dq, rq, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(dk, rk, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(dv, rv, rtol=1e-4, atol=1e-5)
