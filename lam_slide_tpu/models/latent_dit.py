@@ -308,7 +308,16 @@ class LatentDiTLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, vec, sp_cos, sp_sin, tm_cos, tm_sin):
+    def __call__(self, x, pend_h, pend_gate, vec, sp_cos, sp_sin, tm_cos, tm_sin):
+        """(x, pending residual, pending gate) -> same triple.
+
+        The previous block's temporal residual is applied HERE, fused with
+        this block's first LN+modulate (one HBM pass instead of a lone
+        add pass per layer — ops/fused_adaln.py); the first layer feeds
+        zeros (x + 0·0 ≡ x). The caller applies the final pending residual
+        fused into the output AdaLN. Same math as the reference's
+        in-layer residuals (latent_si_v31.py:45-61), regrouped.
+        """
         b, t, l, d = x.shape
         mod1, mod2 = Modulation(
             dim=self.hidden_size,
@@ -331,21 +340,16 @@ class LatentDiTLayer(nn.Module):
         spatial = ParallelMLPAttention(**common, name="spatial_block")
         temporal = ParallelMLPAttention(**common, name="temporal_block")
 
-        from lam_slide_tpu.ops.fused_adaln import (
-            adaln_modulate, residual_adaln_modulate,
-        )
+        from lam_slide_tpu.ops.fused_adaln import residual_adaln_modulate
 
-        # LN + AdaLN-modulate and the mid-layer residual→LN→modulate chain
-        # run as single-pass Pallas kernels on TPU (ops/fused_adaln.py);
-        # same math as modulate(layer_norm(x)) / x + gate·h.
-        h = adaln_modulate(x, mod1.shift, mod1.scale)
+        x, h = residual_adaln_modulate(x, pend_h, pend_gate,
+                                       mod1.shift, mod1.scale)
         h = spatial(h.reshape(b * t, l, d), sp_cos, sp_sin).reshape(b, t, l, d)
         x, h = residual_adaln_modulate(x, h, mod1.gate, mod2.shift, mod2.scale)
 
         h = h.transpose(0, 2, 1, 3).reshape(b * l, t, d)
         h = temporal(h, tm_cos, tm_sin).reshape(b, l, t, d).transpose(0, 2, 1, 3)
-        x = x + mod2.gate.astype(x.dtype) * h
-        return x
+        return x, h, mod2.gate
 
 
 class _LayerScanBody(nn.Module):
@@ -362,9 +366,10 @@ class _LayerScanBody(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, h, vec, sp_cos, sp_sin, tm_cos, tm_sin):
+    def __call__(self, carry, vec, sp_cos, sp_sin, tm_cos, tm_sin):
+        h, pend_h, pend_gate = carry
         layer_cls = nn.remat(LatentDiTLayer) if self.remat else LatentDiTLayer
-        h = layer_cls(
+        carry = layer_cls(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
@@ -374,8 +379,8 @@ class _LayerScanBody(nn.Module):
             reference_init=self.reference_init,
             dtype=self.dtype,
             name="layer",
-        )(h, vec, sp_cos, sp_sin, tm_cos, tm_sin)
-        return h, None
+        )(h, pend_h, pend_gate, vec, sp_cos, sp_sin, tm_cos, tm_sin)
+        return carry, None
 
 
 def stack_layer_params(params: dict, depth: int) -> dict:
@@ -487,6 +492,12 @@ class LatentDiT(nn.Module):
             reference_init=self.reference_init,
             dtype=self.dtype,
         )
+        # Residuals ride the carry: each block applies the PREVIOUS block's
+        # temporal residual fused with its first LN+modulate; the first
+        # block gets exact zeros (x + 0·0 ≡ x) so the scan carry keeps a
+        # fixed structure.
+        pend_h = jnp.zeros_like(h)
+        pend_gate = jnp.zeros((b, 1, 1, d), jnp.float32)
         layer_cls = nn.remat(LatentDiTLayer) if self.checkpointing else LatentDiTLayer
         if self.scan_layers and not self.share_weights:
             scan = nn.scan(
@@ -496,8 +507,9 @@ class LatentDiT(nn.Module):
                 in_axes=(nn.broadcast,) * 5,
                 length=self.depth,
             )
-            h, _ = scan(**layer_kwargs, remat=self.checkpointing, name="blocks")(
-                h, vec, sp_cos, sp_sin, tm_cos, tm_sin
+            (h, pend_h, pend_gate), _ = scan(
+                **layer_kwargs, remat=self.checkpointing, name="blocks")(
+                (h, pend_h, pend_gate), vec, sp_cos, sp_sin, tm_cos, tm_sin
             )
         else:
             if self.share_weights:
@@ -509,9 +521,11 @@ class LatentDiT(nn.Module):
                     for i in range(self.depth)
                 ]
             for block in blocks:
-                h = block(h, vec, sp_cos, sp_sin, tm_cos, tm_sin)
+                h, pend_h, pend_gate = block(
+                    h, pend_h, pend_gate, vec, sp_cos, sp_sin, tm_cos, tm_sin)
 
-        # Final AdaLN + zero-init projection (latent_si_v31.py:119-124,185-187).
+        # Final AdaLN + zero-init projection (latent_si_v31.py:119-124,185-187),
+        # with the last block's temporal residual fused in.
         mod = nn.Dense(
             2 * d,
             kernel_init=inits.attn_kernel_init if self.reference_init else torch_linear_init,
@@ -519,9 +533,9 @@ class LatentDiT(nn.Module):
             name="adaLN_out",
         )(nn.silu(vec))
         shift, scale = jnp.split(mod[:, None, None, :], 2, axis=-1)
-        from lam_slide_tpu.ops.fused_adaln import adaln_modulate
+        from lam_slide_tpu.ops.fused_adaln import residual_adaln_modulate
 
-        h = adaln_modulate(h, shift, scale)
+        _, h = residual_adaln_modulate(h, pend_h, pend_gate, shift, scale)
         out_kinit = inits.zeros if self.reference_init else torch_linear_init
         return nn.Dense(
             self.in_dim, kernel_init=out_kinit, bias_init=inits.zeros, dtype=self.dtype,
