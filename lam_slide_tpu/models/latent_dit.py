@@ -286,13 +286,21 @@ class ParallelMLPAttention(nn.Module):
                     )
                 attn = ah.transpose(0, 2, 1, 3).reshape(b, n, d)
 
-        out = jnp.concatenate([attn, nn.gelu(mlp, approximate=False)], axis=-1)
-        # manual apply of the linear2 params — identical math to nn.Dense
-        # with dtype=self.dtype (cast params, dot, add bias)
-        return jax.lax.dot_general(
-            out, w2_raw.astype(self.dtype),
-            (((out.ndim - 1,), (0,)), ((), ())),
-        ) + b2_raw.astype(self.dtype)
+        # linear2 applied as two weight-slice dots — same math as
+        # concat([attn, gelu(mlp)]) @ w2 (nn.Dense with dtype=self.dtype)
+        # without materializing the [.., n, D+M] concat buffer; the f32
+        # partials add before the single bf16 rounding.
+        w2 = w2_raw.astype(self.dtype)
+        gmlp = nn.gelu(mlp, approximate=False)
+        nd = attn.ndim - 1
+        out32 = jax.lax.dot_general(
+            attn, w2[:d], (((nd,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            gmlp, w2[d:], (((nd,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out32.astype(self.dtype) + b2_raw.astype(self.dtype)
 
 
 class LatentDiTLayer(nn.Module):
