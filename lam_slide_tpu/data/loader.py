@@ -53,6 +53,11 @@ def _is_canonical_collate(collate_fn, dataset) -> bool:
 
 
 class Loader:
+    # Multi-host default, set once by the entry point after
+    # jax.distributed.initialize() (train/cli.py --multihost); every Loader
+    # built afterwards feeds its process's slice of each global batch.
+    default_process_shard: Optional[tuple] = None
+
     def __init__(
         self,
         dataset: Dataset,
@@ -64,7 +69,32 @@ class Loader:
         prefetch: int = 2,
         transform: Optional[Callable] = None,
         fast_path: Optional[bool] = None,
+        process_shard: Optional[tuple] = None,
     ):
+        """process_shard=(index, count): multi-host data feeding — every
+        process draws the SAME shuffled global order (same seed) and keeps
+        the contiguous per-process slice of each batch, so the concatenation
+        over processes is exactly the single-process batch (matching the
+        data-axis layout shard_batch assembles via
+        make_array_from_process_local_data). batch_size stays GLOBAL.
+        Augmentation RNG streams differ per process (each draws only its
+        slice) — distributionally identical, not bit-reproducible across
+        different process counts."""
+        if process_shard is None:
+            process_shard = type(self).default_process_shard
+        if process_shard is not None:
+            pi, pc = process_shard
+            if batch_size % pc != 0:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by "
+                    f"process count {pc}")
+            if not 0 <= pi < pc:
+                raise ValueError(f"bad process_shard {process_shard}")
+            if not drop_last:
+                raise ValueError(
+                    "process_shard requires drop_last=True (a ragged final "
+                    "batch would desynchronize hosts)")
+        self.process_shard = process_shard
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -88,7 +118,12 @@ class Loader:
             rng.shuffle(order)
         n_batches = len(self)
         for i in range(n_batches):
-            yield order[i * self.batch_size : (i + 1) * self.batch_size]
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            if self.process_shard is not None:
+                pi, pc = self.process_shard
+                local = self.batch_size // pc
+                idx = idx[pi * local : (pi + 1) * local]
+            yield idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         epoch = self._epoch

@@ -60,12 +60,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Device-put every array in a batch pytree with batch-axis sharding.
 
-    Host-side arrays (numpy) land directly in device HBM already laid out for
-    the data-parallel step — no gather/scatter afterwards.
+    Host-side arrays (numpy) land directly in device HBM already laid out
+    for the data-parallel step — no gather/scatter afterwards. Single
+    process: a plain sharded device_put. Multi-host (after
+    ``jax.distributed.initialize``): the batch is this process's LOCAL
+    shard — rows for the data-axis positions owned by local devices — and
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (the per-host feeding
+    pattern; each host loads only its slice, see Loader process_shard).
     """
     sharding = batch_sharding(mesh)
-
-    def _put(x):
-        return jax.device_put(x, sharding)
-
-    return jax.tree.map(_put, batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )

@@ -33,6 +33,12 @@ def main(argv=None):
         "--devices", type=int, default=None,
         help="force N virtual CPU devices (sharding debug; sets XLA flags before jax import)",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="multi-host SPMD (v5e pods / DCN): jax.distributed.initialize() "
+             "before device discovery; every Loader feeds this process's "
+             "slice of each global batch",
+    )
     parser.add_argument("--molecule", default="all", help="md17: molecule or 'all'")
     parser.add_argument("--scene", default="score", help="nba: score|rebound")
     parser.add_argument(
@@ -40,6 +46,12 @@ def main(argv=None):
         metavar="KEY=VALUE",
         help="override TrainerConfig fields (e.g. --set lr=2e-4 --set max_epochs=100) "
              "— the Hydra-style command-line override surface",
+    )
+    parser.add_argument(
+        "--exp-set", dest="exp_overrides", action="append", default=[],
+        metavar="KEY=VALUE",
+        help="extra keyword overrides passed to the experiment builder "
+             "(e.g. --exp-set batch_size=16) — the sweep override surface",
     )
     parser.add_argument(
         "--test-mesh", action="store_true",
@@ -73,6 +85,13 @@ def main(argv=None):
     if args.devices:
         jax.config.update("jax_platforms", "cpu")
 
+    if args.multihost:
+        jax.distributed.initialize()
+        from lam_slide_tpu.data.loader import Loader as _Loader
+
+        _Loader.default_process_shard = (jax.process_index(), jax.process_count())
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
+
     from lam_slide_tpu.experiments import build_experiment
     from lam_slide_tpu.parallel import make_mesh
     from lam_slide_tpu.train.checkpoint import register_run
@@ -96,6 +115,18 @@ def main(argv=None):
         if args.first_stage_run is None:
             args.first_stage_run = stored.get("first_stage_run")
 
+    exp_kwargs = {}
+    for item in args.exp_overrides:
+        key, _, raw = item.partition("=")
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = {"true": True, "false": False}.get(raw.lower(), raw)
+        exp_kwargs[key] = val
+
     exp = build_experiment(
         args.experiment,
         smoke=args.smoke,
@@ -105,6 +136,7 @@ def main(argv=None):
         first_stage_run=args.first_stage_run,
         molecule=args.molecule,
         scene=args.scene,
+        **exp_kwargs,
     )
     if args.epochs is not None:
         exp.trainer_cfg.max_epochs = args.epochs

@@ -225,3 +225,48 @@ def test_wrong_semantics_lambda_falls_back_to_slow_path():
                   seed=0)
     ref = next(iter(slow))
     np.testing.assert_allclose(batch["pos"], ref["pos"] * 2.0, rtol=1e-6)
+
+
+def test_process_shard_slices_reassemble():
+    """Multi-host feeding: loaders with process_shard (i, pc) and the same
+    seed draw the SAME global order, and the per-process batch slices
+    concatenate to exactly the single-process batch (the data-axis layout
+    make_array_from_process_local_data assembles)."""
+    from lam_slide_tpu.data.loader import Loader
+
+    class Rows:
+        def __len__(self):
+            return 64
+
+        def sample(self, idx, rng):
+            return {"x": np.full((3,), idx, np.float32)}
+
+    def collate(samples):
+        return {"x": np.stack([s["x"] for s in samples])}
+
+    full = list(Loader(Rows(), batch_size=8, collate_fn=collate, seed=3))
+    parts = [list(Loader(Rows(), batch_size=8, collate_fn=collate, seed=3,
+                         process_shard=(pi, 2)))
+             for pi in range(2)]
+    assert len(full) == len(parts[0]) == len(parts[1])
+    for bf, b0, b1 in zip(full, parts[0], parts[1]):
+        np.testing.assert_array_equal(
+            bf["x"], np.concatenate([b0["x"], b1["x"]], axis=0))
+
+
+def test_process_shard_validation():
+    from lam_slide_tpu.data.loader import Loader
+
+    class Rows:
+        def __len__(self):
+            return 8
+
+        def sample(self, idx, rng):
+            return {"x": np.zeros(1, np.float32)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        Loader(Rows(), batch_size=6, collate_fn=None, process_shard=(0, 4))
+    with _pytest.raises(ValueError, match="drop_last"):
+        Loader(Rows(), batch_size=4, collate_fn=None, process_shard=(0, 2),
+               drop_last=False)
