@@ -47,13 +47,21 @@ def run_sweep(
     first_stage_runs: Optional[Union[str, Dict[str, str]]] = None,
     smoke: bool = False,
     extra: Optional[Dict] = None,
+    jobs: int = 1,
+    devices: Optional[int] = None,
 ) -> List[str]:
-    """Run every entry of sweep ``name`` sequentially -> list of run ids.
+    """Run every entry of sweep ``name`` -> list of run ids.
 
-    The reference launches these as hydra multiruns over the sweep group
-    (scripts/*/second-stage.sh ``-m``); on TPU sequential runs keep one
-    chip fully utilized per run.
+    jobs=1 (default) runs sequentially in-process — on TPU sequential runs
+    keep one chip fully utilized per run. jobs>1 recovers the reference's
+    joblib/submitit multirun launcher (configs/hydra/joblib.yaml): each
+    entry becomes a ``train.cli`` subprocess with its own run workspace
+    dir, up to ``jobs`` at a time; ``devices`` forwards ``--devices N``
+    (virtual CPU mesh) to each — the CPU smoke-sweep configuration.
     """
+    if jobs > 1:
+        return _run_sweep_parallel(name, workspace, first_stage_runs, smoke,
+                                   extra, jobs, devices)
     from lam_slide_tpu.experiments.registry import EXPERIMENTS
     from lam_slide_tpu.train.trainer import Trainer
 
@@ -80,6 +88,65 @@ def run_sweep(
     return run_ids
 
 
+def _run_sweep_parallel(name, workspace, first_stage_runs, smoke, extra,
+                        jobs, devices) -> List[str]:
+    """Subprocess fan-out over sweep entries (the joblib-launcher shape).
+
+    Each entry gets its own run_id/run_dir; the run registry handles
+    concurrent registration via its file lock. Known experiment-builder
+    keys map to CLI flags; anything else rides ``--exp-set``.
+    """
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
+    import uuid
+
+    entries = []
+    for exp_name, overrides in SWEEPS[name]:
+        kwargs = dict(overrides)
+        dataset = kwargs.get("molecule") or kwargs.get("scene") or "all"
+        fs_run = (first_stage_runs.get(dataset)
+                  if isinstance(first_stage_runs, dict) else first_stage_runs)
+        kwargs.update(extra or {})
+        run_id = uuid.uuid4().hex[:8]
+        cmd = [sys.executable, "-m", "lam_slide_tpu.train.cli",
+               "--experiment", exp_name, "--workspace", workspace,
+               "--run-id", run_id]
+        if smoke:
+            cmd.append("--smoke")
+        if fs_run:
+            cmd += ["--first-stage-run", str(fs_run)]
+        if devices:
+            cmd += ["--devices", str(devices)]
+        for key, val in kwargs.items():
+            if key in ("molecule", "scene"):
+                cmd += [f"--{key}", str(val)]
+            else:
+                cmd += ["--exp-set", f"{key}={val}"]
+        entries.append((run_id, exp_name, dataset, cmd))
+
+    def launch(entry):
+        run_id, exp_name, dataset, cmd = entry
+        log_dir = os.path.join(workspace, run_id)
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "launcher.log"), "w") as log:
+            proc = subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT)
+        ok = proc.returncode == 0
+        print(f"sweep[{name}] {exp_name} {dataset}: run_id={run_id} "
+              f"{'ok' if ok else f'FAILED rc={proc.returncode}'}", flush=True)
+        return run_id if ok else None
+
+    with cf.ThreadPoolExecutor(max_workers=jobs) as pool:
+        results = list(pool.map(launch, entries))
+    failed = results.count(None)
+    if failed:
+        raise RuntimeError(
+            f"sweep[{name}]: {failed}/{len(entries)} jobs failed "
+            f"(see <workspace>/<run_id>/launcher.log)")
+    return [r for r in results if r]
+
+
 def main(argv=None):
     import argparse
 
@@ -88,9 +155,14 @@ def main(argv=None):
     p.add_argument("--workspace", default="runs")
     p.add_argument("--first-stage-run", default=None)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--jobs", type=int, default=1,
+                   help="parallel subprocess launches (joblib-launcher shape)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="forward --devices N (virtual CPU mesh) to each job")
     args = p.parse_args(argv)
     run_sweep(args.sweep, workspace=args.workspace,
-              first_stage_runs=args.first_stage_run, smoke=args.smoke)
+              first_stage_runs=args.first_stage_run, smoke=args.smoke,
+              jobs=args.jobs, devices=args.devices)
 
 
 if __name__ == "__main__":

@@ -100,20 +100,30 @@ def register_run(
     run_dir: str,
     config: Optional[Dict[str, Any]] = None,
 ):
-    """Record a run so later stages can resolve it by ID (utils.py:180-199)."""
+    """Record a run so later stages can resolve it by ID (utils.py:180-199).
+
+    The read-modify-write is guarded by an fcntl lock so parallel sweep
+    launchers (experiments/sweeps.py --jobs N) can register concurrently.
+    """
+    import fcntl
+
     os.makedirs(workspace, exist_ok=True)
     path = _registry_path(workspace)
-    registry = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            registry = json.load(f)
-    registry[run_id] = {
-        "run_dir": os.path.abspath(run_dir),
-        "config": config or {},
-        "time": time.time(),
-    }
-    with open(path, "w") as f:
-        json.dump(registry, f, indent=2)
+    with open(path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        registry = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                registry = json.load(f)
+        registry[run_id] = {
+            "run_dir": os.path.abspath(run_dir),
+            "config": config or {},
+            "time": time.time(),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(registry, f, indent=2)
+        os.replace(tmp, path)
 
 
 def resolve_run(workspace: str, run_id: str) -> Dict[str, Any]:
