@@ -111,19 +111,34 @@ def measure(batch: int) -> float:
 
 
 def worker() -> None:
-    sweep = {}
+    # Per-batch isolation: one failing sweep point (OOM at wide B, a shape
+    # or compile bug) must not discard the points already measured or get
+    # misreported as a tunnel outage downstream.
+    sweep, errors = {}, {}
     for b in BATCH_SWEEP:
-        sweep[b] = measure(b)
-        print(f"# B={b}: {sweep[b]:.1f} steps/s", file=sys.stderr, flush=True)
+        try:
+            sweep[b] = measure(b)
+            print(f"# B={b}: {sweep[b]:.1f} steps/s", file=sys.stderr, flush=True)
+        except Exception as e:
+            errors[b] = f"{type(e).__name__}: {e}"[:200]
+            print(f"# B={b}: FAILED {errors[b]}", file=sys.stderr, flush=True)
+    if not sweep:
+        print(json.dumps({**METRIC, "value": None, "vs_baseline": None,
+                          "error": "bench_failed",
+                          "detail": "; ".join(f"B={b}: {e}" for b, e in errors.items())[:300]}))
+        return
     best_b = max(sweep, key=sweep.get)
     value = sweep[best_b]
-    print(json.dumps({
+    out = {
         **METRIC,
         "value": round(value, 2),
         "vs_baseline": round(value / A100_ANCHOR, 3),
         "batch": best_b,
         "sweep": {str(b): round(v, 2) for b, v in sweep.items()},
-    }))
+    }
+    if errors:
+        out["sweep_errors"] = {str(b): e for b, e in errors.items()}
+    print(json.dumps(out))
 
 
 def _probe_tunnel(timeout_s: float) -> tuple[bool, str]:
@@ -168,8 +183,12 @@ def main() -> None:
     sys.stderr.write(p.stderr)
     lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
     if p.returncode != 0 or not lines:
+        # The tunnel probed healthy, so a dead worker is a software failure
+        # in the benchmark itself — do not masquerade it as an outage.
         tail = (p.stderr.strip().splitlines() or ["unknown"])[-1][:300]
-        _diagnostic(f"worker rc={p.returncode}: {tail}")
+        print(json.dumps({**METRIC, "value": None, "vs_baseline": None,
+                          "error": "bench_failed",
+                          "detail": f"worker rc={p.returncode}: {tail}"}))
         return
     print(lines[-1])
 

@@ -43,7 +43,10 @@ def _is_canonical_collate(collate_fn, dataset) -> bool:
     )
     fn, bound_ne = collate_fn, None
     while isinstance(fn, _ft.partial):
-        if "num_entities" in fn.keywords:
+        # Keep the OUTERMOST binding: partial call semantics merge
+        # {**inner.keywords, **call_kwargs}, so an outer partial's keyword
+        # overrides an inner one at call time.
+        if bound_ne is None and "num_entities" in fn.keywords:
             bound_ne = fn.keywords["num_entities"]
         fn = fn.func
     if not any(fn is c for c in canonical):
@@ -80,20 +83,32 @@ class Loader:
         Augmentation RNG streams differ per process (each draws only its
         slice) — distributionally identical, not bit-reproducible across
         different process counts."""
-        if process_shard is None:
+        # full_batch_feed: multi-host fallback for loaders that can't be
+        # process-sharded (ragged final batch, non-divisible batch size).
+        # Every host draws identical full batches (same seed/order) and
+        # shard_batch slices out each host's addressable rows
+        # (make_array_from_process_local_data with explicit global_shape).
+        # Correct but without the per-host IO saving of true sharding —
+        # which is why train loaders should use drop_last=True under
+        # --multihost.
+        self.full_batch_feed = False
+        ambient = process_shard is None
+        if ambient:
             process_shard = type(self).default_process_shard
         if process_shard is not None:
             pi, pc = process_shard
-            if batch_size % pc != 0:
-                raise ValueError(
-                    f"global batch_size {batch_size} not divisible by "
-                    f"process count {pc}")
             if not 0 <= pi < pc:
                 raise ValueError(f"bad process_shard {process_shard}")
-            if not drop_last:
-                raise ValueError(
-                    "process_shard requires drop_last=True (a ragged final "
-                    "batch would desynchronize hosts)")
+            shardable = drop_last and batch_size % pc == 0
+            if not shardable:
+                if not ambient:
+                    raise ValueError(
+                        "process_shard requires drop_last=True and a "
+                        "process-divisible batch_size (a ragged or uneven "
+                        "batch would desynchronize hosts); drop "
+                        "process_shard to use replicated full-batch feeding")
+                process_shard = None
+                self.full_batch_feed = True
         self.process_shard = process_shard
         self.dataset = dataset
         self.batch_size = batch_size

@@ -27,6 +27,8 @@ from lam_slide_tpu.data.augment import (random_rotation_matrices,
                                          random_rotation_matrix, rotate)
 from lam_slide_tpu.data.loader import Dataset
 
+from lam_slide_tpu.utils.rng import stable_seed
+
 MOLECULE_FILES = {
     "aspirin": "md17_aspirin.npz",
     "benzene": "md17_benzene2017.npz",
@@ -46,7 +48,7 @@ SPLIT_RATIO = (0.6, 0.2, 0.2)
 
 def _synthetic_raw(molecule: str, n_frames: int = 4000, seed: int = 0):
     """Deterministic stand-in raw data shaped like an MD17 npz payload."""
-    rng = np.random.default_rng(abs(hash((molecule, seed))) % (2**32))
+    rng = np.random.default_rng(stable_seed(molecule, seed))
     n_atoms = {"benzene": 12, "ethanol": 9, "aspirin": 21, "uracil": 12}.get(molecule, 13)
     z = rng.integers(1, 9, size=n_atoms)
     base = rng.standard_normal((n_atoms, 3)).astype(np.float32) * 1.5

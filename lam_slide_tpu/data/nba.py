@@ -20,11 +20,13 @@ import numpy as np
 from lam_slide_tpu.data.augment import random_rotation_matrix_2d, rotate
 from lam_slide_tpu.data.loader import Dataset
 
+from lam_slide_tpu.utils.rng import stable_seed
+
 SCENE_COND_INDICES = {"score": 0, "rebound": 1}
 
 
 def _synthetic_game(scene: str, idx: int, n_frames: int = 64):
-    rng = np.random.default_rng(abs(hash((scene, idx))) % (2**32))
+    rng = np.random.default_rng(stable_seed(scene, idx))
     n_agents = 11
     team = np.zeros((n_frames, n_agents), dtype=np.int64)
     team[:, 1:6] = 1

@@ -31,6 +31,8 @@ import numpy as np
 
 from lam_slide_tpu.data.loader import Dataset
 
+from lam_slide_tpu.utils.rng import stable_seed
+
 TimeIndex = Union[int, slice, Sequence[int], np.ndarray]
 
 
@@ -174,7 +176,7 @@ def nbody_edge_attr(
 
 def _simulate_synthetic(name: str, n_traj: int, n_frames: int, n_nodes: int, seed: int = 0):
     """Deterministic leapfrog n-body stand-in for the GeoTDM datagen files."""
-    rng = np.random.default_rng(abs(hash((name, n_nodes, seed))) % (2**32))
+    rng = np.random.default_rng(stable_seed(name, n_nodes, seed))
     loc = np.empty((n_traj, n_frames, n_nodes, 3), np.float32)
     vel = np.empty_like(loc)
     charges = rng.choice([-1.0, 1.0], size=(n_traj, n_nodes, 1)).astype(np.float32)
@@ -276,7 +278,7 @@ class NBodyDataset(Dataset):
             raise ValueError(f"{n} bodies > num_entities {self.num_entities}")
         self.edge_index = fully_connected_edges(n)
         if self.obs_noise_scale > 0:
-            noise_rng = np.random.default_rng(abs(hash((self.name, "noise"))) % (2**32))
+            noise_rng = np.random.default_rng(stable_seed(self.name, "noise"))
             self.noise = noise_rng.standard_normal(self.loc.shape).astype(np.float32)
         else:
             self.noise = None

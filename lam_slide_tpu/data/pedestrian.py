@@ -23,11 +23,13 @@ import numpy as np
 from lam_slide_tpu.data.augment import random_rotation_matrix_2d, rotate
 from lam_slide_tpu.data.loader import Dataset
 
+from lam_slide_tpu.utils.rng import stable_seed
+
 SCENE_COND_INDICES = {"zara1": 0, "zara2": 1, "univ": 2, "hotel": 3, "eth": 4}
 
 
 def _synthetic_scenes(scene: str, n_scenes: int, t: int, n_max: int, seed: int = 0):
-    rng = np.random.default_rng(abs(hash((scene, seed))) % (2**32))
+    rng = np.random.default_rng(stable_seed(scene, seed))
     counts = rng.integers(2, n_max + 1, size=n_scenes)
     data = np.zeros((n_scenes, n_max, t, 2), dtype=np.float32)
     for s in range(n_scenes):

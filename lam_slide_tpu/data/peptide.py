@@ -30,6 +30,8 @@ from lam_slide_tpu.geometry import constants as pc
 from lam_slide_tpu.geometry import ops as geo
 from lam_slide_tpu.geometry.rigid import Rigid
 
+from lam_slide_tpu.utils.rng import stable_seed
+
 
 # ---------------------------------------------------------------------------
 # Minimal topology / trajectory IO (mdtraj replacements)
@@ -97,7 +99,7 @@ def traj_to_atom14(xyz: np.ndarray, residues: List[Tuple[str, List[str]]]):
 
 
 def _synthetic_trajectory(name: str, n_res: int = 4, n_frames: int = 400):
-    rng = np.random.default_rng(abs(hash(name)) % (2**32))
+    rng = np.random.default_rng(stable_seed(name))
     aatype = rng.integers(0, 20, size=n_res)
     # slowly varying torsion angles
     base = rng.uniform(-np.pi, np.pi, size=(1, n_res, 7))

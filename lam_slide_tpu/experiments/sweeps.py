@@ -66,19 +66,13 @@ def run_sweep(
     from lam_slide_tpu.train.trainer import Trainer
 
     run_ids = []
-    for exp_name, overrides in SWEEPS[name]:
-        kwargs = dict(overrides)
-        dataset = kwargs.get("molecule") or kwargs.get("scene") or "all"
-        fs_run = (first_stage_runs.get(dataset)
-                  if isinstance(first_stage_runs, dict) else first_stage_runs)
-        kwargs.update(extra or {})
+    for exp_name, dataset, fs_run, kwargs, run_id in _resolve_entries(
+            name, first_stage_runs, extra):
         exp = EXPERIMENTS[exp_name](
             smoke=smoke, workspace=workspace, first_stage_run=fs_run, **kwargs
         )
         import os
-        import uuid
 
-        run_id = uuid.uuid4().hex[:8]
         run_dir = os.path.join(workspace, run_id)
         trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir,
                           eval_fns=exp.eval_fns)
@@ -86,6 +80,20 @@ def run_sweep(
         print(f"sweep[{name}] {exp_name} {dataset}: run_id={run_id}")
         run_ids.append(run_id)
     return run_ids
+
+
+def _resolve_entries(name, first_stage_runs, extra):
+    """Shared entry resolution for both launchers: each sweep entry ->
+    (exp_name, dataset, first_stage_run, builder kwargs, fresh run_id)."""
+    import uuid
+
+    for exp_name, overrides in SWEEPS[name]:
+        kwargs = dict(overrides)
+        dataset = kwargs.get("molecule") or kwargs.get("scene") or "all"
+        fs_run = (first_stage_runs.get(dataset)
+                  if isinstance(first_stage_runs, dict) else first_stage_runs)
+        kwargs.update(extra or {})
+        yield exp_name, dataset, fs_run, kwargs, uuid.uuid4().hex[:8]
 
 
 def _run_sweep_parallel(name, workspace, first_stage_runs, smoke, extra,
@@ -100,16 +108,10 @@ def _run_sweep_parallel(name, workspace, first_stage_runs, smoke, extra,
     import os
     import subprocess
     import sys
-    import uuid
 
     entries = []
-    for exp_name, overrides in SWEEPS[name]:
-        kwargs = dict(overrides)
-        dataset = kwargs.get("molecule") or kwargs.get("scene") or "all"
-        fs_run = (first_stage_runs.get(dataset)
-                  if isinstance(first_stage_runs, dict) else first_stage_runs)
-        kwargs.update(extra or {})
-        run_id = uuid.uuid4().hex[:8]
+    for exp_name, dataset, fs_run, kwargs, run_id in _resolve_entries(
+            name, first_stage_runs, extra):
         cmd = [sys.executable, "-m", "lam_slide_tpu.train.cli",
                "--experiment", exp_name, "--workspace", workspace,
                "--run-id", run_id]

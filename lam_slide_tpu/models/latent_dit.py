@@ -505,7 +505,10 @@ class LatentDiT(nn.Module):
         # block gets exact zeros (x + 0·0 ≡ x) so the scan carry keeps a
         # fixed structure.
         pend_h = jnp.zeros_like(h)
-        pend_gate = jnp.zeros((b, 1, 1, d), jnp.float32)
+        # Must match the layer's output dtype: nn.scan requires carry-in and
+        # carry-out components to agree, and the layer emits gates in
+        # self.dtype (bf16 for the production stage-2 configs).
+        pend_gate = jnp.zeros((b, 1, 1, d), self.dtype)
         layer_cls = nn.remat(LatentDiTLayer) if self.checkpointing else LatentDiTLayer
         if self.scan_layers and not self.share_weights:
             scan = nn.scan(

@@ -57,21 +57,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, full_local: bool = False):
     """Device-put every array in a batch pytree with batch-axis sharding.
 
     Host-side arrays (numpy) land directly in device HBM already laid out
     for the data-parallel step — no gather/scatter afterwards. Single
     process: a plain sharded device_put. Multi-host (after
-    ``jax.distributed.initialize``): the batch is this process's LOCAL
-    shard — rows for the data-axis positions owned by local devices — and
-    the global array is assembled with
+    ``jax.distributed.initialize``): with ``full_local=False`` the batch is
+    this process's LOCAL shard — rows for the data-axis positions owned by
+    local devices — and the global array is assembled with
     ``jax.make_array_from_process_local_data`` (the per-host feeding
     pattern; each host loads only its slice, see Loader process_shard).
+    With ``full_local=True`` every process holds the identical FULL batch
+    (Loader.full_batch_feed — the fallback for ragged/non-divisible
+    loaders); passing ``global_shape=x.shape`` makes JAX slice each host's
+    addressable rows out of the full array, which also tolerates a final
+    batch that does not divide evenly over the data axis.
     """
     sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if full_local:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape=np.asarray(x).shape),
+            batch,
+        )
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         batch,

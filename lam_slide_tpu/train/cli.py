@@ -19,7 +19,9 @@ import sys
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--experiment", required=True)
+    parser.add_argument("--experiment", default=None,
+                        help="experiment name (required unless --test-only "
+                             "recovers it from the run registry)")
     parser.add_argument("--smoke", action="store_true", help="tiny synthetic run (debug cfg)")
     parser.add_argument("--workspace", default="runs")
     parser.add_argument("--data-root", default=None)
@@ -39,8 +41,12 @@ def main(argv=None):
              "before device discovery; every Loader feeds this process's "
              "slice of each global batch",
     )
-    parser.add_argument("--molecule", default="all", help="md17: molecule or 'all'")
-    parser.add_argument("--scene", default="score", help="nba: score|rebound")
+    parser.add_argument("--molecule", default=None,
+                        help="md17: molecule or 'all' (default; --test-only "
+                             "recovers the trained run's value)")
+    parser.add_argument("--scene", default=None,
+                        help="nba: score|rebound (default score; --test-only "
+                             "recovers the trained run's value)")
     parser.add_argument(
         "--set", dest="overrides", action="append", default=[],
         metavar="KEY=VALUE",
@@ -99,21 +105,7 @@ def main(argv=None):
 
     run_id = args.run_id or secrets.token_hex(4)
     run_dir = os.path.join(args.workspace, run_id)
-    print(f"experiment={args.experiment} run_id={run_id} devices={jax.device_count()}")
-
-    if args.test_only:
-        # Standalone test-from-checkpoint (scripts/nba/nba_qd.py semantics):
-        # resolve the finished run, recover its stage lineage from the
-        # registry, restore EMA weights, and run only the test protocol.
-        from lam_slide_tpu.train.checkpoint import resolve_run
-
-        if not args.run_id:
-            raise SystemExit("--test-only requires --run-id of a finished run")
-        info = resolve_run(args.workspace, run_id)
-        run_dir = info["run_dir"]
-        stored = info.get("config", {})
-        if args.first_stage_run is None:
-            args.first_stage_run = stored.get("first_stage_run")
+    print(f"run_id={run_id} devices={jax.device_count()}")
 
     exp_kwargs = {}
     for item in args.exp_overrides:
@@ -127,6 +119,43 @@ def main(argv=None):
                 val = {"true": True, "false": False}.get(raw.lower(), raw)
         exp_kwargs[key] = val
 
+    if args.test_only:
+        # Standalone test-from-checkpoint (scripts/nba/nba_qd.py semantics):
+        # resolve the finished run, recover its full launch configuration —
+        # experiment, dataset selection, overrides, stage lineage — from the
+        # registry (the wandb-config recovery of src/train.py:100-105), so
+        # the test protocol runs against the settings the checkpoint was
+        # trained with. Explicit CLI flags still override.
+        from lam_slide_tpu.train.checkpoint import resolve_run
+
+        if not args.run_id:
+            raise SystemExit("--test-only requires --run-id of a finished run")
+        info = resolve_run(args.workspace, run_id)
+        run_dir = info["run_dir"]
+        stored = info.get("config", {})
+        launch = stored.get("launch", {})
+        for field in ("experiment", "molecule", "scene", "data_root",
+                      "first_stage_run"):
+            if getattr(args, field) is None and launch.get(field) is not None:
+                setattr(args, field, launch[field])
+        if launch.get("smoke") and not args.smoke:
+            args.smoke = True
+        exp_kwargs = {**launch.get("exp_overrides", {}), **exp_kwargs}
+        if args.first_stage_run is None:
+            args.first_stage_run = stored.get("first_stage_run")
+        mismatches = {f: (launch[f], getattr(args, f))
+                      for f in ("experiment", "molecule", "scene")
+                      if launch.get(f) is not None
+                      and getattr(args, f) != launch[f]}
+        if mismatches:
+            print(f"WARNING: --test-only overrides the trained run's "
+                  f"settings: {mismatches}")
+
+    if not args.experiment:
+        raise SystemExit("--experiment is required (no stored value found)")
+    molecule = args.molecule if args.molecule is not None else "all"
+    scene = args.scene if args.scene is not None else "score"
+
     exp = build_experiment(
         args.experiment,
         smoke=args.smoke,
@@ -134,8 +163,8 @@ def main(argv=None):
         workspace=args.workspace,
         seed=args.seed,
         first_stage_run=args.first_stage_run,
-        molecule=args.molecule,
-        scene=args.scene,
+        molecule=molecule,
+        scene=scene,
         **exp_kwargs,
     )
     if args.epochs is not None:
@@ -166,11 +195,20 @@ def main(argv=None):
         raw = load_checkpoint_raw(run_dir, which=args.test_ckpt)
         params = raw["ema_params"] if raw.get("ema_params") is not None else raw["params"]
         fs_vars = (raw.get("constants") or {}).get("first_stage")
-        _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir)
+        _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir, molecule)
         print(f"done: test-only step={int(raw['step'])} run_dir={run_dir}")
         return 0
 
-    register_run(args.workspace, run_id, run_dir, exp.meta)
+    register_run(args.workspace, run_id, run_dir, {
+        **exp.meta,
+        "launch": {
+            "experiment": args.experiment, "molecule": molecule,
+            "scene": scene, "smoke": bool(args.smoke),
+            "data_root": args.data_root, "seed": args.seed,
+            "first_stage_run": args.first_stage_run,
+            "exp_overrides": exp_kwargs,
+        },
+    })
     trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir, mesh=mesh,
                       eval_fns=exp.eval_fns)
     state = trainer.fit(exp.variables, exp.train_loader, exp.val_loaders, resume=args.resume)
@@ -180,13 +218,13 @@ def main(argv=None):
         # sampling (src/train.py:100-118). K/num_runs per domain protocol.
         params = state.ema_params if state.ema_params is not None else state.params
         fs_vars = (state.constants or {}).get("first_stage")
-        _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir)
+        _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir, molecule)
 
     print(f"done: step={int(state.step)} run_dir={run_dir}")
     return 0
 
 
-def _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir):
+def _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir, molecule):
     """Domain test protocol on restored/trained weights (stage 2 only):
     mean-K ADE/FDE for md17 (second_stage/md17.py:139-171), per-entity
     min-K [+FPC] for pedestrian/nba (second_stage/pedestrian.py:149-239)."""
@@ -206,7 +244,7 @@ def _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir):
         from lam_slide_tpu.experiments.registry import MD17_SCALES
 
         metrics = evaluate_md17(exp.model, params, fs_vars, exp.val_loaders,
-                                scale=MD17_SCALES[args.molecule], k=k,
+                                scale=MD17_SCALES[molecule], k=k,
                                 mesh=mesh if args.test_mesh else None)
     elif exp.meta["domain"] in ("pedestrian", "nba"):
         num_runs = min(int(cfg.get("num_runs", k)), k)

@@ -176,7 +176,7 @@ class Trainer:
             t0 = time.time()
             acc: Dict[str, list] = {}
             for batch in train_loader:
-                batch = self._put(batch)
+                batch = self._put(batch, train_loader)
                 timer.tick()
                 state, metrics = train_step(state, batch, rng)
                 for k, v in metrics.items():
@@ -212,7 +212,7 @@ class Trainer:
             for bi, batch in enumerate(loader):
                 if self.cfg.limit_val_batches and bi >= self.cfg.limit_val_batches:
                     break
-                batch = self._put(batch)
+                batch = self._put(batch, loader)
                 metrics = eval_step(state, batch, rng)
                 for k, v in metrics.items():
                     acc.setdefault(k, []).append(float(v))
@@ -224,9 +224,10 @@ class Trainer:
                 all_means.setdefault(k, []).append(v)
         return _mean_metrics(all_means)
 
-    def _put(self, batch):
+    def _put(self, batch, loader=None):
         if self.mesh is not None:
             from lam_slide_tpu.parallel import shard_batch
 
-            return shard_batch(batch, self.mesh)
+            full = bool(getattr(loader, "full_batch_feed", False))
+            return shard_batch(batch, self.mesh, full_local=full)
         return batch

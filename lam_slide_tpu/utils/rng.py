@@ -6,8 +6,21 @@ randomness keyed by integer seeds — here a fold_in per seed, so sample i
 always draws the same stream regardless of batch composition.
 """
 
+import zlib
+
 import jax
 from jax import numpy as jnp
+
+
+def stable_seed(*parts) -> int:
+    """Deterministic 32-bit seed from arbitrary values.
+
+    Python's builtin ``hash`` of strings is randomized per process
+    (PYTHONHASHSEED), so seeding numpy from it makes "deterministic"
+    synthetic data differ between runs. CRC32 over the repr is stable
+    across processes and platforms.
+    """
+    return zlib.crc32(repr(parts).encode()) & 0xFFFFFFFF
 
 
 def per_sample_keys(base: jax.Array, seeds: jnp.ndarray) -> jax.Array:

@@ -185,6 +185,14 @@ def test_canonical_collate_gate():
     # dataset without a declared num_entities: partial still accepted
     assert _is_canonical_collate(
         functools.partial(pad_collate_temporal, num_entities=11), object())
+    # nested partials: the OUTERMOST binding wins at call time
+    # ({**inner.keywords, **call_kwargs}), so the gate must judge it
+    inner8 = functools.partial(pad_collate_temporal, num_entities=8)
+    assert not _is_canonical_collate(
+        functools.partial(inner8, num_entities=11), ds)  # effective 11 != 8
+    inner11 = functools.partial(pad_collate_temporal, num_entities=11)
+    assert _is_canonical_collate(
+        functools.partial(inner11, num_entities=8), ds)  # effective 8 == 8
     # lambdas are opaque — even ones that name a canonical collate
     assert not _is_canonical_collate(lambda b: pad_collate_temporal(b, 8), ds)
     assert not _is_canonical_collate(lambda b: {k: np.stack([s[k] for s in b])
@@ -265,8 +273,43 @@ def test_process_shard_validation():
             return {"x": np.zeros(1, np.float32)}
 
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="not divisible"):
+    with _pytest.raises(ValueError, match="process-divisible"):
         Loader(Rows(), batch_size=6, collate_fn=None, process_shard=(0, 4))
     with _pytest.raises(ValueError, match="drop_last"):
         Loader(Rows(), batch_size=4, collate_fn=None, process_shard=(0, 2),
                drop_last=False)
+    with _pytest.raises(ValueError, match="bad process_shard"):
+        Loader(Rows(), batch_size=4, collate_fn=None, process_shard=(2, 2))
+
+
+def test_ambient_process_shard_falls_back_for_ragged_loaders():
+    """--multihost sets Loader.default_process_shard globally; loaders that
+    cannot be process-sharded (drop_last=False — every registry val loader,
+    plus pedestrian/peptide train loaders) must fall back to replicated
+    full-batch feeding instead of refusing to construct (the ambient
+    default must never make an otherwise-valid Loader a hard error)."""
+    from lam_slide_tpu.data.loader import Loader
+
+    class Rows:
+        def __len__(self):
+            return 10
+
+        def sample(self, idx, rng):
+            return {"x": np.full((2,), idx, np.float32)}
+
+    def collate(samples):
+        return {"x": np.stack([s["x"] for s in samples])}
+
+    try:
+        Loader.default_process_shard = (0, 2)
+        ragged = Loader(Rows(), batch_size=4, collate_fn=collate,
+                        drop_last=False, shuffle=False)
+        assert ragged.full_batch_feed and ragged.process_shard is None
+        batches = list(ragged)
+        assert [len(b["x"]) for b in batches] == [4, 4, 2]  # full batches
+        sharded = Loader(Rows(), batch_size=4, collate_fn=collate,
+                         drop_last=True, shuffle=False)
+        assert not sharded.full_batch_feed and sharded.process_shard == (0, 2)
+        assert all(len(b["x"]) == 2 for b in sharded)  # local slices
+    finally:
+        Loader.default_process_shard = None

@@ -273,6 +273,18 @@ class TestScanLayers:
         assert jax.tree.all(jax.tree.map(
             lambda a, b: jnp.array_equal(a, b), back, v0["params"]))
 
+    def test_bf16_scan_traces(self):
+        """Production stage-2 configs run scan_layers=True with bf16; the
+        scan carry (residual + gate) must be initialized in the layer's
+        dtype or nn.scan rejects the carry-in/carry-out dtype mismatch."""
+        import jax
+        import jax.numpy as jnp
+
+        model, args = self._world(scan_layers=True, dtype=jnp.bfloat16)
+        v = model.init(jax.random.PRNGKey(0), *args)
+        out = model.apply(v, *args)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
     def test_remat_scan_equal_and_grads_flow(self):
         import jax
         import jax.numpy as jnp

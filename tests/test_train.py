@@ -218,21 +218,23 @@ def test_cli_test_only_from_checkpoint(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
 
     rc = main(["--experiment", "nba_first_stage", "--smoke", "--workspace", ws,
-               "--run-id", "s1", "--no-mesh"])
+               "--run-id", "s1", "--no-mesh", "--scene", "rebound"])
     assert rc == 0
     rc = main(["--experiment", "nba_second_stage", "--smoke", "--workspace", ws,
                "--run-id", "s2", "--first-stage-run", "s1", "--no-mesh",
-               "--test"])
+               "--test", "--scene", "rebound"])
     assert rc == 0
     trained = json.load(open(tmp_path / "ws" / "s2" / "test_metrics.json"))
-    assert np.isfinite(trained["test/score/ade"])
+    assert np.isfinite(trained["test/rebound/ade"])
 
-    # wipe the in-run artifact, then re-test from the saved checkpoint only;
-    # --first-stage-run is recovered from the registry, not passed again
+    # wipe the in-run artifact, then re-test from the saved checkpoint only:
+    # experiment name, scene, smoke flag and --first-stage-run are all
+    # recovered from the run registry's launch record, not passed again —
+    # re-testing against the defaults (scene=score) would silently compute
+    # metrics on the wrong eval set.
     (tmp_path / "ws" / "s2" / "test_metrics.json").unlink()
-    rc = main(["--experiment", "nba_second_stage", "--smoke", "--workspace", ws,
-               "--run-id", "s2", "--no-mesh", "--test-only",
-               "--test-ckpt", "last"])
+    rc = main(["--workspace", ws, "--run-id", "s2", "--no-mesh",
+               "--test-only", "--test-ckpt", "last"])
     assert rc == 0
     retested = json.load(open(tmp_path / "ws" / "s2" / "test_metrics.json"))
-    assert np.isfinite(retested["test/score/ade"])
+    assert np.isfinite(retested["test/rebound/ade"])
