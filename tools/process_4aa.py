@@ -76,6 +76,10 @@ def _load_xyz(traj_path: str, top_path: str) -> np.ndarray:
                 "neither is available — convert to multi-model pdb/npz"
             ) from e
         return md.load(traj_path, top=top_path).xyz.astype(np.float32)
+    if ext == ".dcd":  # CHARMM/NAMD binary (traj_utils.py:29 via mdtraj)
+        from lam_slide_tpu.data.dcd import read_dcd
+
+        return read_dcd(traj_path)[0]
     if ext in (".npz", ".npy"):
         data = np.load(traj_path)
         if hasattr(data, "files"):
