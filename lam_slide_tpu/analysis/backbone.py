@@ -81,14 +81,13 @@ def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
     n_neg = len(labels) - n_pos
     if n_pos == 0 or n_neg == 0:
         return float("nan")
-    order = np.argsort(scores)
-    ranks = np.empty(len(scores))
-    # average ranks for ties
-    sorted_scores = scores[order]
-    ranks[order] = np.arange(1, len(scores) + 1)
-    for val in np.unique(sorted_scores):
-        sel = scores == val
-        ranks[sel] = ranks[sel].mean()
+    # tie-averaged ranks, vectorized: each unique value occupies a
+    # contiguous 1-based rank range [start, end] in sort order; its
+    # average rank is the midpoint (O(n log n), no per-value passes)
+    uniq, inv, counts = np.unique(scores, return_inverse=True,
+                                  return_counts=True)
+    ends = np.cumsum(counts)
+    ranks = (ends - (counts - 1) / 2.0)[inv]
     return float((ranks[labels].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 

@@ -34,6 +34,7 @@ def make_peptide_sampling_hook(
     from lam_slide_tpu.analysis.rollout import RolloutSampler
 
     counter = {"n": 0}
+    cache: Dict[str, RolloutSampler] = {}
 
     def hook(state, epoch) -> Optional[Dict[str, float]]:
         counter["n"] += 1
@@ -41,10 +42,18 @@ def make_peptide_sampling_hook(
             return None
         params = state.ema_params if state.ema_params is not None else state.params
         fs_vars = state.constants["first_stage"]
-        sampler = RolloutSampler(
-            second_stage, params, fs_vars,
-            sampling_kwargs={"sampling_method": "euler", "num_steps": num_steps},
-        )
+        # Build the sampler (and its jitted sample fn) ONCE: params/fs_vars
+        # are traced arguments of the jitted program, so later epochs swap
+        # them without recompiling; reconstructing per epoch would pay the
+        # full XLA sampler compile every validation pass.
+        if "sampler" not in cache:
+            cache["sampler"] = RolloutSampler(
+                second_stage, params, fs_vars,
+                sampling_kwargs={"sampling_method": "euler",
+                                 "num_steps": num_steps},
+            )
+        sampler = cache["sampler"]
+        sampler.params, sampler.fs_variables = params, fs_vars
         rng = jax.random.PRNGKey(seed + epoch)
         samples = {}
         for traj in trajectories[:max_peptides]:

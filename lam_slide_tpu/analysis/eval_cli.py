@@ -96,6 +96,13 @@ def main(argv=None):
     outdir = args.outdir or os.path.join(info["run_dir"], "eval")
     os.makedirs(outdir, exist_ok=True)
 
+    available = [t["name"] for t in ds.trajectories]
+    if args.pdb_ids:
+        missing = sorted(set(args.pdb_ids) - set(available))
+        if missing:
+            raise SystemExit(
+                f"--pdb-ids not found: {missing}; available: {available}")
+
     rng = jax.random.PRNGKey(137)
     samples = {}
     for traj in ds.trajectories:

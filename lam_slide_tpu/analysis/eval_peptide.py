@@ -67,6 +67,10 @@ def analyze_trajectory(
     ref_cs = feat(ref_atom14, cossin=True)
     lag = min(cfg.tica_lag, len(ref_cs) // 2)
     model = tica_mod.tica(ref_cs, lag=lag, kinetic_map=True)
+    if model.components.shape[1] < 2:
+        # the TICA-0,1 JSD needs two components even when the 95%
+        # kinetic-variance cutoff would keep only one
+        model = tica_mod.tica(ref_cs, lag=lag, kinetic_map=True, dim=2)
     ref_tica = model.transform(ref_cs)
     traj_tica = model.transform(traj_cs)
     out["JSD"].update(jsd.tica_jsd(ref_tica, traj_tica))

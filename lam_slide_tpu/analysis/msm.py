@@ -23,6 +23,14 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _sq_dists(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """[T, k] squared distances via the expansion identity — avoids the
+    [T, k, D] broadcast temporary (multi-GB at real MD trajectory sizes)."""
+    d = ((x * x).sum(1)[:, None] + (centers * centers).sum(1)[None, :]
+         - 2.0 * (x @ centers.T))
+    return np.maximum(d, 0.0)
+
+
 def kmeans_discretize(
     x: np.ndarray, k: int = 100, max_iter: int = 100, seed: int = 137
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -38,23 +46,20 @@ def kmeans_discretize(
         centers[i] = x[rng.choice(n, p=probs)]
         d2 = np.minimum(d2, np.sum((x - centers[i]) ** 2, axis=1))
     for _ in range(max_iter):
-        d = ((x[:, None] - centers[None]) ** 2).sum(-1)
-        assign = d.argmin(1)
+        a = _sq_dists(x, centers).argmin(1)
         new_centers = centers.copy()
         for c in range(k):
-            sel = assign == c
+            sel = a == c
             if sel.any():
                 new_centers[c] = x[sel].mean(0)
         if np.allclose(new_centers, centers):
-            break
+            return centers, a  # converged: `a` is the assignment for these centers
         centers = new_centers
-    d = ((x[:, None] - centers[None]) ** 2).sum(-1)
-    return centers, d.argmin(1)
+    return centers, _sq_dists(x, centers).argmin(1)
 
 
 def assign(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
-    d = ((x[:, None] - centers[None]) ** 2).sum(-1)
-    return d.argmin(1)
+    return _sq_dists(x, centers).argmin(1)
 
 
 def count_matrix(dtraj: np.ndarray, n_states: int, lag: int) -> np.ndarray:
@@ -71,15 +76,20 @@ def transition_matrix(
     reversible=True → reversible MLE (pyemma estimate_markov_model
     semantics); False → plain row-normalized counts."""
     c = count_matrix(dtraj, n_states, lag)
-    # largest connected set under the symmetrized counts (the reversible
-    # likelihood only couples states through C + Cᵀ)
-    active = _largest_connected_set((c + c.T) > 0)
-    c = c[np.ix_(active, active)]
     if reversible:
-        t = reversible_mle(c)
+        # largest connected set under the symmetrized counts (the
+        # reversible likelihood only couples states through C + Cᵀ)
+        active = _largest_connected_set((c + c.T) > 0)
+        t = reversible_mle(c[np.ix_(active, active)])
     else:
-        rows = c.sum(1)
-        t = c / np.maximum(rows[:, None], 1e-12)
+        # row-normalized counts need every active state to have outgoing
+        # raw counts, or its row would be all-zero (non-stochastic T):
+        # restrict to the largest STRONGLY connected component of the
+        # directed count graph (pyemma's default connectivity).
+        active = _largest_scc(c > 0)
+        csub = c[np.ix_(active, active)]
+        rows = csub.sum(1)
+        t = csub / np.maximum(rows[:, None], 1e-12)
     return t, active
 
 
@@ -127,6 +137,53 @@ def _largest_connected_set(adj: np.ndarray) -> np.ndarray:
         if len(comp) > len(best):
             best = comp
     return np.sort(np.asarray(best))
+
+
+def _largest_scc(adj: np.ndarray) -> np.ndarray:
+    """Largest strongly connected component (iterative Kosaraju)."""
+    n = len(adj)
+
+    def dfs_order(a):
+        seen = np.zeros(n, bool)
+        order = []
+        for s in range(n):
+            if seen[s]:
+                continue
+            stack = [(s, iter(np.nonzero(a[s])[0]))]
+            seen[s] = True
+            while stack:
+                u, it = stack[-1]
+                advanced = False
+                for v in it:
+                    if not seen[v]:
+                        seen[v] = True
+                        stack.append((int(v), iter(np.nonzero(a[v])[0])))
+                        advanced = True
+                        break
+                if not advanced:
+                    order.append(u)
+                    stack.pop()
+        return order
+
+    order = dfs_order(adj)
+    seen = np.zeros(n, bool)
+    best: list = []
+    for s in reversed(order):
+        if seen[s]:
+            continue
+        comp = []
+        stack = [s]
+        seen[s] = True
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in np.nonzero(adj[:, u])[0]:
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(int(v))
+        if len(comp) > len(best):
+            best = comp
+    return np.sort(np.asarray(best, dtype=int))
 
 
 def stationary_distribution(t: np.ndarray) -> np.ndarray:
@@ -201,8 +258,21 @@ def estimate_msm(
     chi = pcca_plus(t, n_metastable)
     memberships = np.zeros((n_clusters, chi.shape[1]))
     memberships[active] = chi
+    # Clusters outside the active set have no PCCA+ assignment. The
+    # reference asserts all 100 clusters are active on its data
+    # (analysis.py:51); when that doesn't hold (a generated trajectory
+    # visiting regions the MD rarely connects), assigning them all to
+    # state 0 would invent occupation mass in a real metastable state —
+    # map each inactive cluster to the metastable state of its NEAREST
+    # active cluster center instead (identical to the reference whenever
+    # the active set is complete).
     meta_assign = np.zeros(n_clusters, dtype=np.int64)
     meta_assign[active] = chi.argmax(1)
+    inactive = np.setdiff1d(np.arange(n_clusters), active)
+    if len(inactive):
+        nearest = assign(centers[inactive], centers[active])
+        meta_assign[inactive] = meta_assign[active][nearest]
+        memberships[inactive] = memberships[active][nearest]
     return MSM(
         centers=centers,
         transition=t,

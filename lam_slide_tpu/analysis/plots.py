@@ -195,8 +195,11 @@ def tic2d_comparison(tic0_ref, tic1_ref, tic0_model=None, tic1_model=None,
     ys = np.linspace(np.min(tic1_ref), np.max(tic1_ref), 200)
     gx, gy = np.meshgrid(xs, ys)
     z = kde(np.vstack([gx.ravel(), gy.ravel()])).reshape(gx.shape)
-    z[z < thresh] = np.nan
+    # smooth FIRST, then blank: gaussian_filter propagates NaN outward
+    # (~4 sigma per blanked cell), eroding basin boundaries and deleting
+    # narrow basins entirely if the mask is applied before smoothing
     z = gaussian_filter(z, sigma=sigma)
+    z[z < thresh] = np.nan
     ax.contour(gx, gy, z, levels=15, cmap="viridis", linewidths=2.0, alpha=0.8)
 
     if tic0_model is not None:

@@ -67,14 +67,16 @@ class TICAModel:
     mean: np.ndarray
     components: np.ndarray  # [F, dim] projection (kinetic-map scaled)
     eigenvalues: np.ndarray
+    lag: int = 1
 
     def transform(self, x: np.ndarray) -> np.ndarray:
         return (x - self.mean) @ self.components
 
     @property
     def timescales(self) -> np.ndarray:
+        """Implied timescales in FRAMES: -lag / ln(λ) (pyemma semantics)."""
         lam = np.clip(np.abs(self.eigenvalues), 1e-12, 1 - 1e-12)
-        return -1.0 / np.log(lam)
+        return -float(self.lag) / np.log(lam)
 
 
 def tica(
@@ -84,12 +86,18 @@ def tica(
     kinetic_map: bool = True,
     weights: Optional[np.ndarray] = None,
     eps: float = 1e-10,
+    var_cutoff: float = 0.95,
 ) -> TICAModel:
     """Fit TICA on one trajectory [T, F].
 
     Reversible (symmetrized) covariance estimation as in pyemma's default;
     optional per-frame weights (from ``koopman_weights``) reweight both
-    instantaneous and lagged covariances.
+    instantaneous and lagged covariances. ``dim=None`` keeps components up
+    to ``var_cutoff`` cumulative kinetic variance (Σλ², pyemma's
+    var_cutoff=0.95 default) — the downstream clustering/MSM then runs in
+    the truncated space the reference pipeline uses, not the full noisy
+    feature space. Pass ``var_cutoff=1.0`` (or an explicit dim) for all
+    components.
     """
     x = np.asarray(x, np.float64)
     x0 = x[:-lag]
@@ -112,10 +120,16 @@ def tica(
     order = np.argsort(-vals)
     vals = vals[order]
     vecs = vecs[:, order]
-    if dim is not None:
-        vals = vals[:dim]
-        vecs = vecs[:, :dim]
-    components = c00_half @ vecs
+    if dim is None and var_cutoff < 1.0:
+        kin = vals ** 2
+        cum = np.cumsum(kin) / max(kin.sum(), 1e-300)
+        dim = int(np.searchsorted(cum, var_cutoff) + 1)
+    if dim is None:
+        dim = vecs.shape[1]
+    dim = max(1, min(dim, vecs.shape[1]))
+    # eigenvalues stay FULL on the model (pyemma exposes the whole
+    # spectrum); only the projection is truncated to `dim` components
+    components = c00_half @ vecs[:, :dim]
     if kinetic_map:
-        components = components * np.abs(vals)[None, :]
-    return TICAModel(mean=mean, components=components, eigenvalues=vals)
+        components = components * np.abs(vals[:dim])[None, :]
+    return TICAModel(mean=mean, components=components, eigenvalues=vals, lag=lag)

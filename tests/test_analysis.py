@@ -89,6 +89,28 @@ class TestTICA:
         r = m1.components[:, 0] / m2.components[:, 0]
         np.testing.assert_allclose(r, np.abs(m1.eigenvalues[0]), rtol=1e-6)
 
+    def test_timescales_in_frames(self):
+        """pyemma semantics: t_i = -lag / ln(λ_i), in trajectory frames —
+        the same process fit at different lags must give consistent
+        timescales (was off by the lag factor)."""
+        x, _ = self._two_state_traj()
+        t25 = tica.tica(x, lag=25, var_cutoff=1.0).timescales[0]
+        t50 = tica.tica(x, lag=50, var_cutoff=1.0).timescales[0]
+        assert 0.7 < t25 / t50 < 1.4  # consistent across lags
+        assert t50 > 25  # a slow process measured in frames, not lag units
+
+    def test_var_cutoff_truncates_default_dim(self):
+        """dim=None keeps components to 95% cumulative kinetic variance
+        (pyemma var_cutoff default): the noise dims of the two-state
+        trajectory must be dropped, and an explicit dim still wins."""
+        x, _ = self._two_state_traj()
+        m = tica.tica(x, lag=50)  # slow mode carries ~all kinetic variance
+        assert m.components.shape[1] < x.shape[1]
+        m_full = tica.tica(x, lag=50, var_cutoff=1.0)
+        assert m_full.components.shape[1] == x.shape[1]
+        m_dim = tica.tica(x, lag=50, dim=2)
+        assert m_dim.components.shape[1] == 2
+
     def test_koopman_weights_recover_equilibrium(self):
         # biased sampling: start all trajectories in state A of a 2-state chain
         rng = np.random.default_rng(1)
@@ -130,6 +152,61 @@ class TestMSM:
         np.testing.assert_allclose(t.sum(1), 1.0, atol=1e-9)
         pi = msm.stationary_distribution(t)
         np.testing.assert_allclose(pi @ t, pi, atol=1e-8)
+
+    def test_nonreversible_excludes_sink_only_states(self):
+        """A state reached but never left (within lag) must not enter the
+        non-reversible active set — its row-normalized counts would be an
+        all-zero (non-stochastic) row. Active set = largest SCC."""
+        # 0 <-> 1 strongly connected; 2 only ever ENTERED (traj ends there)
+        dtraj = np.array([0, 1, 0, 1, 0, 1, 0, 1, 2])
+        t, active = msm.transition_matrix(dtraj, 3, lag=1, reversible=False)
+        assert 2 not in active and set(active) == {0, 1}
+        np.testing.assert_allclose(t.sum(1), 1.0, atol=1e-12)
+
+    def test_inactive_clusters_map_to_nearest_active_state(self, monkeypatch):
+        """Clusters outside the MSM active set must not be silently counted
+        as metastable state 0 (they would inflate a real state's occupation
+        in the headline MSM-JSD); they take the metastable id of the
+        nearest ACTIVE cluster center. Forced here by trimming one cluster
+        out of the active set, as a disconnected count graph would."""
+        rng = np.random.default_rng(5)
+        n = 20000
+        state = np.cumsum(rng.random(n) < 0.003) % 2
+        x = np.column_stack([state * 4.0 + rng.normal(0, 0.25, n),
+                             rng.normal(0, 0.25, n)])
+
+        real_tm = msm.transition_matrix
+        dropped = {}
+
+        def trimming_tm(dtraj, n_states, lag, reversible=True):
+            t, active = real_tm(dtraj, n_states, lag, reversible=reversible)
+            keep = np.ones(len(active), bool)
+            keep[-1] = False  # pretend the last active cluster disconnected
+            dropped["cluster"] = int(active[-1])
+            sub = t[np.ix_(keep, keep)]
+            sub = sub / sub.sum(1, keepdims=True)
+            return sub, active[keep]
+
+        monkeypatch.setattr(msm, "transition_matrix", trimming_tm)
+        model = msm.estimate_msm(x, n_clusters=12, n_metastable=2, lag=5,
+                                 seed=137)
+        d = dropped["cluster"]
+        assert d not in model.active_set
+        # nearest ACTIVE center's metastable id, not a blanket 0
+        nearest = msm.assign(model.centers[[d]], model.centers[model.active_set])[0]
+        expected = model.metastable_assignments[model.active_set][nearest]
+        assert model.metastable_assignments[d] == expected
+        # membership row mirrors the nearest active cluster (not zeros)
+        np.testing.assert_array_equal(
+            model.memberships[d],
+            model.memberships[model.active_set][nearest])
+
+    def test_assign_matches_bruteforce(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((200, 7))
+        centers = rng.standard_normal((13, 7))
+        brute = ((x[:, None] - centers[None]) ** 2).sum(-1).argmin(1)
+        np.testing.assert_array_equal(msm.assign(x, centers), brute)
 
     def test_reversible_mle_properties(self):
         """The estimator is the true reversible MLE (VERDICT r1 #8):
@@ -326,6 +403,17 @@ class TestTPSAndAUROC:
         logits = np.eye(3)[np.array([0, 1, 2, 1])] * 5.0
         assert backbone.multiclass_auroc(logits, np.array([0, 1, 2, 1])) == 1.0
 
+    def test_auroc_ties_match_bruteforce(self):
+        """Tie-averaged rank AUROC == pairwise definition
+        P(score+ > score-) + 0.5 P(score+ == score-), incl. heavy ties."""
+        rng = np.random.default_rng(7)
+        scores = np.round(rng.random(300), 1)  # many ties
+        labels = rng.random(300) < 0.4
+        pos, neg = scores[labels], scores[~labels]
+        brute = ((pos[:, None] > neg[None]).mean()
+                 + 0.5 * (pos[:, None] == neg[None]).mean())
+        assert backbone.roc_auc(scores, labels) == pytest.approx(brute)
+
     def test_traj_analysis_bundle(self):
         rng = np.random.default_rng(0)
         base = np.cumsum(np.tile([[0.38, 0, 0]], (5, 1)), axis=0)
@@ -378,6 +466,29 @@ def test_sampling_hook(tmp_path):
                                       num_rollouts=1, max_peptides=1, num_steps=2)
     out = hook(state, epoch=0)
     assert out is not None and "BB" in out and np.isfinite(out["BB"])
+
+    # the jitted sampler must be built once and reused across epochs
+    # (rebuilding pays a full XLA sampler compile per validation pass)
+    import lam_slide_tpu.analysis.rollout as rollout_mod
+
+    constructions = []
+    real = rollout_mod.RolloutSampler
+
+    class CountingSampler(real):
+        def __init__(self, *a, **kw):
+            constructions.append(1)
+            super().__init__(*a, **kw)
+
+    rollout_mod.RolloutSampler = CountingSampler
+    try:
+        hook2 = make_peptide_sampling_hook(ss, ds.trajectories, str(tmp_path),
+                                           num_rollouts=1, max_peptides=1,
+                                           num_steps=2)
+        assert hook2(state, epoch=0) is not None
+        assert hook2(state, epoch=1) is not None
+        assert sum(constructions) == 1
+    finally:
+        rollout_mod.RolloutSampler = real
 
 
 def test_pointcloud_vis_hook(tmp_path):
