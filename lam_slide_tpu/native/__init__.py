@@ -71,13 +71,18 @@ def _build() -> Optional[str]:
     if os.path.exists(so_path):
         return so_path
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # Per-process tmp name: concurrent processes (e.g. a benchmark and the
+    # test suite) may both build the same tag; each compiles to its own tmp
+    # and the os.replace is atomic, so whichever finishes first wins and the
+    # others overwrite with identical bytes.
+    tmp_path = f"{so_path}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           "-o", so_path + ".tmp", *_SOURCES]
+           "-o", tmp_path, *_SOURCES]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_path, so_path)
     except (OSError, subprocess.SubprocessError):
-        return None
-    os.replace(so_path + ".tmp", so_path)
+        return so_path if os.path.exists(so_path) else None
     return so_path
 
 

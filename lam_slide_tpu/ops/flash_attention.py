@@ -548,8 +548,13 @@ def _core_bwd(scale, res, g):
         # bh=30k, N=192) hit pathological Mosaic compile times and don't
         # need tiling anyway — the chunked XLA recompute handles them within
         # budget. Pallas takes the long-sequence regime it exists for.
-        and max(nq, nk) >= 256
-        and b * h <= 16384
+        and (
+            (max(nq, nk) >= 256 and b * h <= 16384)
+            # Measurement-only override (tools/measure_md17_bwd.py): force
+            # the tiled kernels onto the short-N/huge-grid regime to time
+            # the Mosaic compile pathology rather than reason about it.
+            or os.environ.get("LAM_SLIDE_FORCE_TILED_BWD") == "1"
+        )
         and os.environ.get("LAM_SLIDE_NO_FLASH_BWD") != "1"  # debug/A-B knob
     )
     if use_pallas:

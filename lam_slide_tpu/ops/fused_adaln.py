@@ -15,10 +15,13 @@ modulate chain of LatentDiTLayer (models/latent_dit.py; reference
 latent_si_v31.py:45-61 — LayerNorm(elementwise_affine=False) + the
 mmdit.py:21-22 modulate).
 
-Numerics: bit-matches the unfused composition — the residual rounds
-per-op in the activation dtype, LN statistics run in fp32, the normalized
-value rounds to the activation dtype before the modulate (exact in fp32;
-the parity contract is pinned by tests/test_fused_adaln.py).
+Numerics: same op sequence as the unfused composition — the residual
+rounds per-op in the activation dtype, LN statistics run in fp32, the
+normalized value rounds to the activation dtype before the modulate.
+Bit-parity is pinned through the interpreter (tests/test_fused_adaln.py);
+on the real chip the *unfused* XLA path may reassociate its fusions, so
+kernel-vs-XLA differs by ≤1 ulp of the activation dtype (measured
+0.0625 max abs in bf16 at 4AA shapes — 1 ulp at magnitude ~16).
 
 Differentiation: custom VJP whose backward is ``jax.vjp`` of the
 reference composition — training gradients are identical to the unfused
@@ -27,6 +30,7 @@ fused kernel. Off-TPU the reference composition runs directly.
 """
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -42,6 +46,8 @@ FORCE_KERNEL = False
 
 
 def _use_kernel() -> bool:
+    if os.environ.get("LAM_SLIDE_NO_FUSED") == "1":  # perf A/B knob
+        return False
     return FORCE_KERNEL or jax.default_backend() == "tpu"
 
 
@@ -73,7 +79,7 @@ def _ln_mod(x32: jnp.ndarray, shift32, scale32, eps: float, out_dtype):
 
 def _adaln_kernel(x_ref, shift_ref, scale_ref, y_ref, *, eps):
     x = x_ref[0]
-    y_ref[0] = _ln_mod(x.astype(jnp.float32), shift_ref[:], scale_ref[:],
+    y_ref[0] = _ln_mod(x.astype(jnp.float32), shift_ref[0], scale_ref[0],
                        eps, x.dtype)
 
 
@@ -81,20 +87,23 @@ def _residual_adaln_kernel(x_ref, h_ref, gate_ref, shift_ref, scale_ref,
                            xout_ref, y_ref, *, eps):
     x = x_ref[0]
     # per-op rounding in the activation dtype, as XLA emits it
-    x_new = x + gate_ref[:].astype(x.dtype) * h_ref[0]
+    x_new = x + gate_ref[0].astype(x.dtype) * h_ref[0]
     xout_ref[0] = x_new
-    y_ref[0] = _ln_mod(x_new.astype(jnp.float32), shift_ref[:], scale_ref[:],
+    y_ref[0] = _ln_mod(x_new.astype(jnp.float32), shift_ref[0], scale_ref[0],
                        eps, x.dtype)
 
 
 def _row_layout(x, *mods):
-    """[B, ..., D] -> ([B, R, D], [[B, D] fp32 mods], block_r, grid)."""
+    """[B, ..., D] -> ([B, R, D], [[B, 1, D] fp32 mods], block_r, grid)."""
     b, d = x.shape[0], x.shape[-1]
     r = 1
     for s in x.shape[1:-1]:
         r *= s
     x3 = x.reshape(b, r, d)
-    flat_mods = [m.reshape(b, d).astype(jnp.float32) for m in mods]
+    # Mods are carried as [B, 1, D] so the per-program block (1, 1, D) has
+    # its second-to-last dim equal to the full dim — Mosaic rejects a 1-row
+    # block over a B-row array (sublane tiling rule).
+    flat_mods = [m.reshape(b, 1, d).astype(jnp.float32) for m in mods]
     block_r = min(r, 512)
     grid = (b, pl.cdiv(r, block_r))
     return x3, flat_mods, block_r, grid
@@ -102,7 +111,7 @@ def _row_layout(x, *mods):
 
 def _specs(block_r, d):
     row = pl.BlockSpec((1, block_r, d), lambda b, i: (b, i, 0))
-    vec = pl.BlockSpec((1, d), lambda b, i: (b, 0))
+    vec = pl.BlockSpec((1, 1, d), lambda b, i: (b, 0, 0))
     return row, vec
 
 

@@ -12,8 +12,11 @@ def _last_json(capsys):
 def test_worker_isolates_one_failing_batch(monkeypatch, capsys):
     import bench
 
+    fail_b = bench.BATCH_SWEEP[-1]  # widest point OOMs
+    ok = [b for b in bench.BATCH_SWEEP if b != fail_b]
+
     def fake_measure(b):
-        if b == 64:
+        if b == fail_b:
             raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
         return 100.0 + b
 
@@ -22,9 +25,9 @@ def test_worker_isolates_one_failing_batch(monkeypatch, capsys):
     rec = _last_json(capsys)
     # the measured points survive; the failure is reported, not fatal,
     # and not mislabeled as a tunnel outage
-    assert rec["value"] == 132.0 and rec["batch"] == 32
-    assert set(rec["sweep"]) == {"8", "16", "32"}
-    assert "RESOURCE_EXHAUSTED" in rec["sweep_errors"]["64"]
+    assert rec["value"] == 100.0 + max(ok) and rec["batch"] == max(ok)
+    assert set(rec["sweep"]) == {str(b) for b in ok}
+    assert "RESOURCE_EXHAUSTED" in rec["sweep_errors"][str(fail_b)]
     assert "error" not in rec
 
 

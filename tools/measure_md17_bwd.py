@@ -1,0 +1,103 @@
+"""On-chip A/B of the attention backward at the MD17 spatial shapes.
+
+The MD17 stage-2 spatial axis is bh = B·T·heads = 64·30·16 = 30720
+programs over N = 192 tokens of dh = 24 — the regime where the tiled
+FlashAttention-2 backward's Mosaic compile time degenerates
+(docs/PERF.md). VERDICT r1 item 7 asks for measurements: this script
+times, in bounded subprocesses,
+
+  chunked : the shipping default (budget-chunked XLA recompute)
+  short   : the grouped whole-attention-in-VMEM kernel
+            (LAM_SLIDE_SHORT_BWD=1, flash_attention.py:_flash_backward_short)
+  tiled   : the tiled kernels forced onto this regime
+            (LAM_SLIDE_FORCE_TILED_BWD=1)
+
+reporting compile time and steady-state grad step time for each. Modes
+that hang past --timeout are reported as such (that IS the pathology).
+
+    python tools/measure_md17_bwd.py [--timeout 600]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import time, sys
+import jax, jax.numpy as jnp
+from lam_slide_tpu.ops.flash_attention import flash_attention
+
+B, H, N, DH = 1920, 16, 192, 24  # MD17 s2 spatial axis: (64 traj x 30 frames) heads=16
+key = jax.random.PRNGKey(0)
+q = jax.random.normal(key, (B, H, N, DH), jnp.bfloat16)
+k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, DH), jnp.bfloat16)
+v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, DH), jnp.bfloat16)
+
+def loss(q, k, v):
+    return jnp.sum(flash_attention(q, k, v).astype(jnp.float32))
+
+grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+t0 = time.perf_counter()
+dq, dk, dv = grad(q, k, v)
+jax.block_until_ready(dq)
+compile_s = time.perf_counter() - t0
+
+# steady state: difference two chain lengths to cancel dispatch overhead
+import functools
+@functools.partial(jax.jit, static_argnames="n")
+def chain(q, k, v, n):
+    def body(c, _):
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(c, k, v)
+        return c + 1e-6 * dq, jnp.sum(dq)
+    _, s = jax.lax.scan(body, q, None, length=n)
+    return jnp.sum(s)
+
+for n in (1, 4):
+    float(chain(q, k, v, n))
+def best(n, reps=3):
+    b = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(q, k, v, n))
+        b = min(b, time.perf_counter() - t0)
+    return b
+step_ms = (best(4) - best(1)) / 3 * 1e3
+print(f"RESULT {compile_s:.1f} {step_ms:.2f}")
+"""
+
+
+def run_mode(name: str, env_extra: dict, timeout: int) -> dict:
+    env = {**os.environ, **env_extra}
+    try:
+        p = subprocess.run([sys.executable, "-c", WORKER], env=env,
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"mode": name, "status": f"timeout>{timeout}s (compile pathology)"}
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT"):
+            _, compile_s, step_ms = line.split()
+            return {"mode": name, "status": "ok", "compile_s": float(compile_s),
+                    "grad_step_ms": float(step_ms)}
+    tail = (p.stderr.strip().splitlines() or ["?"])[-1][:200]
+    return {"mode": name, "status": f"failed rc={p.returncode}: {tail}"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--timeout", type=int, default=600)
+    ap.add_argument("--modes", default="chunked,short,tiled")
+    args = ap.parse_args()
+    envs = {
+        "chunked": {"LAM_SLIDE_NO_FLASH_BWD": "1"},
+        "short": {"LAM_SLIDE_SHORT_BWD": "1"},
+        "tiled": {"LAM_SLIDE_FORCE_TILED_BWD": "1"},
+    }
+    for mode in args.modes.split(","):
+        r = run_mode(mode, envs[mode], args.timeout)
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()
