@@ -181,8 +181,17 @@ def _largest_scc(adj: np.ndarray) -> np.ndarray:
                 if not seen[v]:
                     seen[v] = True
                     stack.append(int(v))
-        if len(comp) > len(best):
+        # A size-1 SCC without a self-loop has no outgoing counts inside
+        # the component — restricting to it would yield an all-zero row
+        # (non-stochastic T). Only closed components are valid candidates;
+        # any SCC of size >1 is closed by strong connectivity.
+        if (len(comp) > 1 or adj[comp[0], comp[0]]) and len(comp) > len(best):
             best = comp
+    if not best:
+        raise ValueError(
+            "count graph has no closed communication class (no state "
+            "revisits itself at this lag) — cannot estimate a Markov model"
+        )
     return np.sort(np.asarray(best, dtype=int))
 
 

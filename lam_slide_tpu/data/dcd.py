@@ -58,7 +58,11 @@ def read_dcd(path):
         if header[:4] != _HDR:
             raise ValueError("not a DCD file: missing CORD magic")
         icntrl = np.frombuffer(header[4:84], dtype=np.dtype(fmt + "i4"))
-        has_cell = bool(icntrl[10])
+        # icntrl[10] is the crystal flag only in CHARMM-flavor files
+        # (icntrl[19] = version != 0); in X-PLOR files that word overlaps a
+        # float64 AKMA timestep and holds arbitrary bits — mdtraj likewise
+        # honors the flag only when the version tag is set.
+        has_cell = bool(icntrl[10]) and int(icntrl[19]) != 0
         _record(f, fmt)  # titles — ignored
         (natoms,) = struct.unpack(fmt + "i", _record(f, fmt))
         if natoms <= 0:
@@ -67,20 +71,26 @@ def read_dcd(path):
         frames, cells = [], []
         while True:
             try:
+                cell = None
                 if has_cell:
-                    cell = _record(f, fmt)
-                    if len(cell) != 48:
+                    raw = _record(f, fmt)
+                    if len(raw) != 48:
                         raise ValueError("bad unit-cell record")
-                    cells.append(np.frombuffer(cell, dtype=np.dtype(fmt + "f8")))
+                    cell = np.frombuffer(raw, dtype=np.dtype(fmt + "f8"))
                 axes = []
                 for _ in range(3):
                     rec = _record(f, fmt)
                     if len(rec) != 4 * natoms:
                         raise ValueError("coordinate record size mismatch")
                     axes.append(np.frombuffer(rec, dtype=np.dtype(fmt + "f4")))
-                frames.append(np.stack(axes, axis=1))
             except EOFError:
+                # A file cut between a frame's cell record and its X/Y/Z
+                # records drops the orphaned cell with the partial frame —
+                # cells and frames stay index-matched.
                 break
+            frames.append(np.stack(axes, axis=1))
+            if cell is not None:
+                cells.append(cell)
     if not frames:
         raise ValueError("DCD contains no frames")
     xyz = np.asarray(np.stack(frames), np.float32) * 0.1  # Angstrom -> nm

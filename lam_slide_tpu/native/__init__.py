@@ -83,6 +83,13 @@ def _build() -> Optional[str]:
         os.replace(tmp_path, so_path)
     except (OSError, subprocess.SubprocessError):
         return so_path if os.path.exists(so_path) else None
+    finally:
+        # A failed compile/timeout (or a lost os.replace race) leaves the
+        # pid-named temp behind; nothing ever reuses it, so drop it here.
+        try:
+            os.remove(tmp_path)
+        except OSError:
+            pass
     return so_path
 
 

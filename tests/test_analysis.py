@@ -163,6 +163,21 @@ class TestMSM:
         assert 2 not in active and set(active) == {0, 1}
         np.testing.assert_allclose(t.sum(1), 1.0, atol=1e-12)
 
+    def test_nonreversible_rejects_selfloop_free_chain(self):
+        """Every SCC of a pure transient chain is a singleton without a
+        self-loop; restricting to one would give a zero row (non-stochastic
+        T). The estimator must refuse, not return garbage."""
+        with pytest.raises(ValueError, match="closed communication"):
+            msm.transition_matrix(np.array([0, 1, 2, 3]), 4, lag=1,
+                                  reversible=False)
+
+    def test_nonreversible_singleton_needs_self_loop(self):
+        # {0} has a self-loop (valid closed class); {1} does not
+        dtraj = np.array([0, 0, 0, 1])
+        t, active = msm.transition_matrix(dtraj, 2, lag=1, reversible=False)
+        assert set(active) == {0}
+        np.testing.assert_allclose(t.sum(1), 1.0, atol=1e-12)
+
     def test_inactive_clusters_map_to_nearest_active_state(self, monkeypatch):
         """Clusters outside the MSM active set must not be silently counted
         as metastable state 0 (they would inflate a real state's occupation

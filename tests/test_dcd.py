@@ -76,6 +76,48 @@ def test_trailing_garbage_frame_is_dropped_not_fatal(tmp_path):
     assert back.shape[0] == 2
 
 
+def test_truncated_after_cell_keeps_cells_matched_to_frames(tmp_path):
+    """A file cut between a frame's unit-cell record and its coordinates
+    must not return one more cell row than coordinate frames."""
+    xyz = _rand_xyz(t=2)
+    cells = np.tile(np.array([10.0, 90.0, 10.0, 90.0, 90.0, 10.0]), (2, 1))
+    path = tmp_path / "t.dcd"
+    write_dcd(path, xyz, unit_cells=cells)
+    with open(path, "ab") as f:  # orphan cell record of a third frame
+        payload = np.zeros(6, np.float64).tobytes()
+        f.write(struct.pack("<i", 48) + payload + struct.pack("<i", 48))
+    back, back_cells = read_dcd(path)
+    assert back.shape[0] == 2 and back_cells.shape[0] == 2
+
+
+def test_xplor_flavor_ignores_crystal_flag_word(tmp_path):
+    """In X-PLOR DCDs (icntrl[19]==0) the icntrl[10] word overlaps a
+    float64 timestep — arbitrary nonzero bits must not make the reader
+    expect unit-cell records."""
+    xyz_ang = np.array([[[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]], np.float32)
+    t, n, _ = xyz_ang.shape
+
+    def rec(payload):
+        m = struct.pack("<i", len(payload))
+        return m + payload + m
+
+    icntrl = [0] * 20
+    icntrl[0] = t
+    icntrl[10] = -1091633152  # high word of a float64 AKMA timestep
+    icntrl[19] = 0  # X-PLOR: no CHARMM version tag
+    out = rec(b"CORD" + struct.pack("<20i", *icntrl))
+    out += rec(struct.pack("<i", 1) + b"T" * 80)
+    out += rec(struct.pack("<i", n))
+    for f in range(t):
+        for ax in range(3):
+            out += rec(struct.pack(f"<{n}f", *xyz_ang[f, :, ax]))
+    path = tmp_path / "xplor.dcd"
+    path.write_bytes(out)
+    back, cells = read_dcd(path)
+    assert cells is None
+    np.testing.assert_allclose(back, xyz_ang * 0.1, rtol=1e-7)
+
+
 def test_corrupt_inputs_rejected(tmp_path):
     p = tmp_path / "bad.dcd"
     p.write_bytes(b"\x00" * 3)

@@ -1,0 +1,44 @@
+"""Bounded-subprocess harness shared by the on-chip measurement tools.
+
+Each measurement arm runs in its own subprocess with EVERY kernel-path
+knob pinned explicitly: the knobs (LAM_SLIDE_NO_FUSED, LAM_SLIDE_SHORT_BWD,
+LAM_SLIDE_NO_FLASH_BWD, LAM_SLIDE_FORCE_TILED_BWD) are documented session
+debug switches, and one lingering in the parent environment would silently
+turn an A/B comparison into A/A (e.g. a stale LAM_SLIDE_NO_FLASH_BWD=1
+vetoes the forced-tiled arm inside flash_attention._core_bwd).
+"""
+
+import os
+import subprocess
+import sys
+
+# Every knob that selects a kernel path; arms pin all of them.
+KNOBS = (
+    "LAM_SLIDE_NO_FUSED",
+    "LAM_SLIDE_SHORT_BWD",
+    "LAM_SLIDE_NO_FLASH_BWD",
+    "LAM_SLIDE_FORCE_TILED_BWD",
+)
+
+
+def run_worker(name, code, env_pins, timeout, parse, timeout_note=""):
+    """Run `code` in a bounded subprocess and parse its RESULT line.
+
+    `env_pins` maps knob -> value for the knobs this arm sets to "1";
+    every other KNOB is pinned to "0" so the parent session's state cannot
+    leak in. `parse` maps the whitespace-split fields after "RESULT" to a
+    dict merged into the ok-result.
+    """
+    pins = {k: "0" for k in KNOBS}
+    pins.update(env_pins)
+    env = {**os.environ, **pins}
+    try:
+        p = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"mode": name, "status": f"timeout>{timeout}s{timeout_note}"}
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return {"mode": name, "status": "ok", **parse(line.split()[1:])}
+    tail = (p.stderr.strip().splitlines() or ["?"])[-1][:200]
+    return {"mode": name, "status": f"failed rc={p.returncode}: {tail}"}

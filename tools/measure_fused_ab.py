@@ -4,7 +4,9 @@ Runs bench.py's B=8 measurement twice in bounded subprocesses — once with
 the fused residual+AdaLN and one-pass spatial-block kernels active (the
 default on TPU) and once with LAM_SLIDE_NO_FUSED=1 — and prints both
 throughputs plus the delta. This is the measured evidence for the two
-"tracked wins" of docs/PERF.md.
+"tracked wins" of docs/PERF.md. All kernel-path knobs are pinned per arm
+(tools/_subproc.py) so a lingering session knob cannot turn this into an
+A/A comparison.
 
     python tools/measure_fused_ab.py [--batch 8] [--timeout 900]
 """
@@ -12,8 +14,10 @@ throughputs plus the delta. This is the measured evidence for the two
 import argparse
 import json
 import os
-import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _subproc import run_worker  # noqa: E402
 
 WORKER = r"""
 import sys
@@ -23,21 +27,11 @@ print("RESULT", measure({batch}))
 """
 
 
-def run_mode(name: str, batch: int, env_extra: dict, timeout: int) -> dict:
+def run_mode(name: str, batch: int, env_pins: dict, timeout: int) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = WORKER.format(repo=repo, batch=batch)
-    try:
-        p = subprocess.run([sys.executable, "-c", code],
-                           env={**os.environ, **env_extra},
-                           capture_output=True, text=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return {"mode": name, "status": f"timeout>{timeout}s"}
-    for line in p.stdout.splitlines():
-        if line.startswith("RESULT"):
-            return {"mode": name, "status": "ok",
-                    "steps_per_s": round(float(line.split()[1]), 1)}
-    tail = (p.stderr.strip().splitlines() or ["?"])[-1][:200]
-    return {"mode": name, "status": f"failed rc={p.returncode}: {tail}"}
+    return run_worker(name, code, env_pins, timeout,
+                      lambda t: {"steps_per_s": round(float(t[0]), 1)})
 
 
 def main():

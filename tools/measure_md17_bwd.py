@@ -21,8 +21,10 @@ that hang past --timeout are reported as such (that IS the pathology).
 import argparse
 import json
 import os
-import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _subproc import run_worker  # noqa: E402
 
 WORKER = r"""
 import time, sys
@@ -68,20 +70,11 @@ print(f"RESULT {compile_s:.1f} {step_ms:.2f}")
 """
 
 
-def run_mode(name: str, env_extra: dict, timeout: int) -> dict:
-    env = {**os.environ, **env_extra}
-    try:
-        p = subprocess.run([sys.executable, "-c", WORKER], env=env,
-                           capture_output=True, text=True, timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return {"mode": name, "status": f"timeout>{timeout}s (compile pathology)"}
-    for line in p.stdout.splitlines():
-        if line.startswith("RESULT"):
-            _, compile_s, step_ms = line.split()
-            return {"mode": name, "status": "ok", "compile_s": float(compile_s),
-                    "grad_step_ms": float(step_ms)}
-    tail = (p.stderr.strip().splitlines() or ["?"])[-1][:200]
-    return {"mode": name, "status": f"failed rc={p.returncode}: {tail}"}
+def run_mode(name: str, env_pins: dict, timeout: int) -> dict:
+    return run_worker(
+        name, WORKER, env_pins, timeout,
+        lambda t: {"compile_s": float(t[0]), "grad_step_ms": float(t[1])},
+        timeout_note=" (compile pathology)")
 
 
 def main():
@@ -89,6 +82,8 @@ def main():
     ap.add_argument("--timeout", type=int, default=600)
     ap.add_argument("--modes", default="chunked,short,tiled")
     args = ap.parse_args()
+    # run_worker pins every other kernel knob to "0" per arm, so e.g. a
+    # session LAM_SLIDE_NO_FLASH_BWD=1 cannot veto the tiled arm.
     envs = {
         "chunked": {"LAM_SLIDE_NO_FLASH_BWD": "1"},
         "short": {"LAM_SLIDE_SHORT_BWD": "1"},

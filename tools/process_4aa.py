@@ -59,7 +59,7 @@ def _heavy_atom_indices(top_path: str):
 
 
 def _load_xyz(traj_path: str, top_path: str) -> np.ndarray:
-    """-> [T, n_atoms_all, 3] float32 (nanometers for xtc, as-stored else)."""
+    """-> [T, n_atoms_all, 3] float32 (nm for xtc/dcd, as-stored else)."""
     ext = os.path.splitext(traj_path)[1].lower()
     if ext == ".xtc":
         try:  # native codec (lam_slide_tpu/native/xtc.cc) — no mdtraj needed
