@@ -316,92 +316,6 @@ def _flash_bwd_q_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, *rest,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_bwd_short_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-                            dq_ref, dk_ref, dv_ref, *, scale, group):
-    """One program = ``group`` whole (b·h) items, full attention in VMEM.
-
-    The short-sequence regime (MD17's spatial axis: N=192 at bh=30k): the
-    tiled kernels' (bh, block) grids have tens of thousands of programs,
-    which degenerates Mosaic compile time (docs/PERF.md), and at N<=512
-    nothing needs tiling — q/k/v/do and the [N, N] probability matrix all
-    fit in VMEM. Grouping g items per program shrinks the grid by g.
-    refs: q/do [g, N, d], lse/delta [g, N, 1], k/v [g, N, d].
-    """
-    dtype = v_ref.dtype
-    for i in range(group):
-        q = q_ref[i]
-        do = do_ref[i]
-        lse = lse_ref[i]
-        delta = delta_ref[i]
-        kk = k_ref[i]
-        vv = v_ref[i]
-        s = jax.lax.dot_general(
-            q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jnp.exp(s - lse)
-        pb = p.astype(dtype)
-        dv = jax.lax.dot_general(
-            pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, vv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(dtype)
-        dq = jax.lax.dot_general(
-            ds, kk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dq_ref[i] = dq.astype(dq_ref.dtype)
-        dk_ref[i] = dk.astype(dk_ref.dtype)
-        dv_ref[i] = dv.astype(dv_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("scale", "group"))
-def _flash_backward_short(q, k, v, out, lse, g, scale, group=8):
-    """Grouped whole-attention backward for short sequences.
-
-    Bias-free path only (the _core_bwd gate checks); the key axis is used
-    at its true length (no block padding), so no padding mask is needed —
-    the recomputed logits cover exactly the keys the forward's lse saw."""
-    b, h, nq, d = q.shape
-    nk = k.shape[2]
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    dp_ = d if d % 2 == 0 else d + 1
-    bh = b * h
-    pad_bh = (-bh) % group
-
-    def prep(t):  # [B, H, N, d] -> [BH+pad, N, dp_]
-        t = t.reshape(bh, t.shape[2], d)
-        if dp_ != d:
-            t = jnp.pad(t, ((0, 0), (0, 0), (0, dp_ - d)))
-        if pad_bh:
-            t = jnp.pad(t, ((0, pad_bh), (0, 0), (0, 0)))
-        return t
-
-    def prep_rows(t):  # [B, H, N] fp32 -> [BH+pad, N, 1]
-        t = t.reshape(bh, t.shape[2], 1)
-        if pad_bh:
-            t = jnp.pad(t, ((0, pad_bh), (0, 0), (0, 0)))
-        return t
-
-    qp, dop, kp, vp = prep(q), prep(g.astype(q.dtype)), prep(k), prep(v)
-    lsep, deltap = prep_rows(lse), prep_rows(delta)
-    n_groups = (bh + pad_bh) // group
-
-    item = lambda n: pl.BlockSpec((group, n, dp_), lambda i: (i, 0, 0))
-    rows = lambda n: pl.BlockSpec((group, n, 1), lambda i: (i, 0, 0))
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_short_kernel, scale=scale, group=group),
-        grid=(n_groups,),
-        in_specs=[item(nq), item(nq), rows(nq), rows(nq), item(nk), item(nk)],
-        out_specs=[item(nq), item(nk), item(nk)],
-        out_shape=[jax.ShapeDtypeStruct((bh + pad_bh, nq, dp_), q.dtype),
-                   jax.ShapeDtypeStruct((bh + pad_bh, nk, dp_), k.dtype),
-                   jax.ShapeDtypeStruct((bh + pad_bh, nk, dp_), v.dtype)],
-        interpret=jax.default_backend() != "tpu",
-    )(qp, dop, lsep, deltap, kp, vp)
-    unpad = lambda t, n: t[:bh, :, :d].reshape(b, h, n, d)
-    return unpad(dq, nq), unpad(dk, nk), unpad(dv, nk)
-
-
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k")
 )
@@ -544,34 +458,18 @@ def _core_bwd(scale, res, g):
     use_pallas = (
         on_tpu
         and 2 * panel <= _BWD_MAX_PANEL
-        # Short sequences with huge batch·head grids (MD17's spatial axis:
-        # bh=30k, N=192) hit pathological Mosaic compile times and don't
-        # need tiling anyway — the chunked XLA recompute handles them within
-        # budget. Pallas takes the long-sequence regime it exists for.
-        and (
-            (max(nq, nk) >= 256 and b * h <= 16384)
-            # Measurement-only override (tools/measure_md17_bwd.py): force
-            # the tiled kernels onto the short-N/huge-grid regime to time
-            # the Mosaic compile pathology rather than reason about it.
-            or os.environ.get("LAM_SLIDE_FORCE_TILED_BWD") == "1"
-        )
         and os.environ.get("LAM_SLIDE_NO_FLASH_BWD") != "1"  # debug/A-B knob
     )
+    # The short-N/huge-grid regime (MD17's spatial axis: bh=30720, N=192)
+    # was suspected of pathological Mosaic compile times and routed to the
+    # chunked path in round 1; measured on-chip 2026-08-17
+    # (tools/measure_md17_bwd.py): the tiled kernels compile in 0.8 s at
+    # that exact grid and win steady-state (72.4 ms vs 77.7 ms chunked), so
+    # the tiled backward is now the default everywhere the panel fits. The
+    # grouped whole-attention alternative OOMed and is retired to
+    # ops/ablations/short_backward.py.
     if use_pallas:
         dq, dk, dv = _flash_backward(q, k, v, bias, out, lse, g, scale)
-        return dq, dk, dv, None
-    # Short-sequence grouped kernel (candidate fix for the MD17 bh=30k,
-    # N=192 Mosaic pathology — grid shrinks by the group factor and the
-    # whole attention fits in VMEM). Opt-in via env until the on-chip
-    # compile-time measurement lands (docs/STATUS.md round-2 queue).
-    use_short = (
-        on_tpu
-        and bias is None
-        and max(nq, nk) <= 512
-        and os.environ.get("LAM_SLIDE_SHORT_BWD") == "1"
-    )
-    if use_short:
-        dq, dk, dv = _flash_backward_short(q, k, v, out, lse, g, scale)
         return dq, dk, dv, None
     per_item = h * nq * nk
     chunk = max(1, min(b, _BWD_LOGITS_BUDGET // max(per_item, 1)))

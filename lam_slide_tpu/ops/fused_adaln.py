@@ -46,9 +46,21 @@ FORCE_KERNEL = False
 
 
 def _use_kernel() -> bool:
-    if os.environ.get("LAM_SLIDE_NO_FUSED") == "1":  # perf A/B knob
+    # OPT-IN (measured on-chip 2026-08-17, tools/measure_fused_ab.py): with
+    # both fused families active the bench headline is 0.95x the XLA
+    # composition (515 vs 539 steps/s at B=8) — XLA's own elementwise
+    # fusion beats the hand kernel at these shapes, so the kernels are off
+    # by default. Enable with LAM_SLIDE_FUSED=1 (A/B, other shape regimes);
+    # LAM_SLIDE_NO_FUSED_ADALN=1 vetoes just this family within an
+    # LAM_SLIDE_FUSED=1 session.
+    if os.environ.get("LAM_SLIDE_NO_FUSED") == "1":
         return False
-    return FORCE_KERNEL or jax.default_backend() == "tpu"
+    if os.environ.get("LAM_SLIDE_NO_FUSED_ADALN") == "1":
+        return False
+    if FORCE_KERNEL:
+        return True
+    return (os.environ.get("LAM_SLIDE_FUSED") == "1"
+            and jax.default_backend() == "tpu")
 
 
 def _interpret() -> bool:

@@ -145,9 +145,9 @@ class TestPallasBackward:
 
 
 class TestShortGroupedBackward:
-    """The grouped whole-attention-in-VMEM backward for short sequences
-    (the MD17 bh=30k/N=192 regime), interpreter-run: exact fp32 parity
-    with jax.grad of the XLA attention."""
+    """The grouped whole-attention-in-VMEM backward (retired ablation,
+    ops/ablations/short_backward.py — OOMed on-chip at its target shape),
+    interpreter-run: exact fp32 parity with jax.grad of the XLA attention."""
 
     @pytest.mark.parametrize(
         "bh,n,d,group",
@@ -158,8 +158,9 @@ class TestShortGroupedBackward:
         ],
     )
     def test_matches_xla_grads(self, bh, n, d, group):
-        from lam_slide_tpu.ops.flash_attention import (
-            _flash_backward_short, _flash_forward)
+        from lam_slide_tpu.ops.ablations.short_backward import (
+            _flash_backward_short)
+        from lam_slide_tpu.ops.flash_attention import _flash_forward
 
         key = jax.random.PRNGKey(7)
         b, h = 2, bh // 2

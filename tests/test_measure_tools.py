@@ -15,23 +15,20 @@ _SPEC.loader.exec_module(_subproc)
 
 _ECHO = r"""
 import os
-knobs = ("LAM_SLIDE_NO_FUSED", "LAM_SLIDE_SHORT_BWD",
-         "LAM_SLIDE_NO_FLASH_BWD", "LAM_SLIDE_FORCE_TILED_BWD")
+knobs = ("LAM_SLIDE_NO_FUSED", "LAM_SLIDE_NO_FLASH_BWD")
 print("RESULT", *(os.environ.get(k, "?") for k in knobs))
 """
 
 
 def test_lingering_session_knob_is_pinned_off(monkeypatch):
     monkeypatch.setenv("LAM_SLIDE_NO_FLASH_BWD", "1")  # stale debug knob
-    monkeypatch.setenv("LAM_SLIDE_NO_FUSED", "1")
     r = _subproc.run_worker(
-        "tiled", _ECHO, {"LAM_SLIDE_FORCE_TILED_BWD": "1"}, timeout=60,
+        "tiled", _ECHO, {"LAM_SLIDE_NO_FUSED": "1"}, timeout=60,
         parse=lambda t: {"knobs": t})
     assert r["status"] == "ok"
-    no_fused, short_bwd, no_flash, force_tiled = r["knobs"]
+    no_fused, no_flash = r["knobs"]
     assert no_flash == "0", "stale NO_FLASH_BWD must not veto the tiled arm"
-    assert no_fused == "0" and short_bwd == "0"
-    assert force_tiled == "1"
+    assert no_fused == "1", "the arm's own pin must come through"
 
 
 def test_timeout_reported_with_note(monkeypatch):

@@ -1,11 +1,11 @@
 """Bounded-subprocess harness shared by the on-chip measurement tools.
 
 Each measurement arm runs in its own subprocess with EVERY kernel-path
-knob pinned explicitly: the knobs (LAM_SLIDE_NO_FUSED, LAM_SLIDE_SHORT_BWD,
-LAM_SLIDE_NO_FLASH_BWD, LAM_SLIDE_FORCE_TILED_BWD) are documented session
-debug switches, and one lingering in the parent environment would silently
-turn an A/B comparison into A/A (e.g. a stale LAM_SLIDE_NO_FLASH_BWD=1
-vetoes the forced-tiled arm inside flash_attention._core_bwd).
+knob pinned explicitly: the knobs (LAM_SLIDE_NO_FUSED,
+LAM_SLIDE_NO_FLASH_BWD) are documented session debug switches, and one
+lingering in the parent environment would silently turn an A/B comparison
+into A/A (e.g. a stale LAM_SLIDE_NO_FLASH_BWD=1 vetoes the tiled arm
+inside flash_attention._core_bwd).
 """
 
 import os
@@ -14,10 +14,11 @@ import sys
 
 # Every knob that selects a kernel path; arms pin all of them.
 KNOBS = (
+    "LAM_SLIDE_FUSED",
     "LAM_SLIDE_NO_FUSED",
-    "LAM_SLIDE_SHORT_BWD",
+    "LAM_SLIDE_NO_FUSED_ADALN",
+    "LAM_SLIDE_NO_FUSED_SPATIAL",
     "LAM_SLIDE_NO_FLASH_BWD",
-    "LAM_SLIDE_FORCE_TILED_BWD",
 )
 
 

@@ -1,12 +1,11 @@
 """On-chip A/B of the fused DiT glue kernels (docs/STATUS.md queue item 4).
 
-Runs bench.py's B=8 measurement twice in bounded subprocesses — once with
-the fused residual+AdaLN and one-pass spatial-block kernels active (the
-default on TPU) and once with LAM_SLIDE_NO_FUSED=1 — and prints both
-throughputs plus the delta. This is the measured evidence for the two
-"tracked wins" of docs/PERF.md. All kernel-path knobs are pinned per arm
-(tools/_subproc.py) so a lingering session knob cannot turn this into an
-A/A comparison.
+Runs bench.py's B=8 measurement per arm in bounded subprocesses: the
+shipping default (XLA composition — the fused kernels are opt-in since
+the 2026-08-17 measurement showed fused = 0.95x), both fused kernels
+(LAM_SLIDE_FUSED=1), and each fused family alone. All kernel-path knobs
+are pinned per arm (tools/_subproc.py) so a lingering session knob
+cannot turn this into an A/A comparison.
 
     python tools/measure_fused_ab.py [--batch 8] [--timeout 900]
 """
@@ -34,20 +33,35 @@ def run_mode(name: str, batch: int, env_pins: dict, timeout: int) -> dict:
                       lambda t: {"steps_per_s": round(float(t[0]), 1)})
 
 
+ARMS = {
+    # arm -> env pins (un-pinned knobs are forced to "0" by run_worker).
+    # The fused kernels are OPT-IN since the 2026-08-17 measurement
+    # (fused = 0.95x unfused), so the fused arms set LAM_SLIDE_FUSED=1 and
+    # "unfused" is the shipping default.
+    "fused": {"LAM_SLIDE_FUSED": "1"},
+    "unfused": {},
+    "adaln_only": {"LAM_SLIDE_FUSED": "1", "LAM_SLIDE_NO_FUSED_SPATIAL": "1"},
+    "spatial_only": {"LAM_SLIDE_FUSED": "1", "LAM_SLIDE_NO_FUSED_ADALN": "1"},
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--arms", default="fused,unfused,adaln_only,spatial_only")
     args = ap.parse_args()
-    fused = run_mode("fused", args.batch, {}, args.timeout)
-    print(json.dumps(fused), flush=True)
-    unfused = run_mode("unfused", args.batch, {"LAM_SLIDE_NO_FUSED": "1"},
-                       args.timeout)
-    print(json.dumps(unfused), flush=True)
-    if fused.get("status") == "ok" and unfused.get("status") == "ok":
-        a, b = fused["steps_per_s"], unfused["steps_per_s"]
-        print(json.dumps({"speedup": round(a / b, 3),
-                          "batch": args.batch}))
+    results = {}
+    for arm in args.arms.split(","):
+        results[arm] = run_mode(arm, args.batch, ARMS[arm], args.timeout)
+        print(json.dumps(results[arm]), flush=True)
+    ok = {a: r["steps_per_s"] for a, r in results.items()
+          if r.get("status") == "ok"}
+    if "unfused" in ok:
+        base = ok["unfused"]
+        print(json.dumps({"batch": args.batch,
+                          "vs_unfused": {a: round(v / base, 3)
+                                         for a, v in ok.items()}}))
 
 
 if __name__ == "__main__":

@@ -1,16 +1,16 @@
 """On-chip A/B of the attention backward at the MD17 spatial shapes.
 
 The MD17 stage-2 spatial axis is bh = B·T·heads = 64·30·16 = 30720
-programs over N = 192 tokens of dh = 24 — the regime where the tiled
-FlashAttention-2 backward's Mosaic compile time degenerates
-(docs/PERF.md). VERDICT r1 item 7 asks for measurements: this script
-times, in bounded subprocesses,
+programs over N = 192 tokens of dh = 24 — the regime round 1 suspected
+of degenerate Mosaic compile times and routed to the chunked XLA path.
+Measured 2026-08-17: tiled compiles in 0.8 s and wins steady-state
+(72.4 ms vs 77.7 ms chunked); the grouped whole-attention "short" kernel
+RESOURCE_EXHAUSTed from (8,128)-tile padding at dh=24 and was retired to
+ops/ablations/short_backward.py. The tiled backward is now the default;
+this script re-drives the A/B in bounded subprocesses:
 
-  chunked : the shipping default (budget-chunked XLA recompute)
-  short   : the grouped whole-attention-in-VMEM kernel
-            (LAM_SLIDE_SHORT_BWD=1, flash_attention.py:_flash_backward_short)
-  tiled   : the tiled kernels forced onto this regime
-            (LAM_SLIDE_FORCE_TILED_BWD=1)
+  tiled   : the shipping default (tiled FlashAttention-2 backward)
+  chunked : budget-chunked XLA recompute (LAM_SLIDE_NO_FLASH_BWD=1)
 
 reporting compile time and steady-state grad step time for each. Modes
 that hang past --timeout are reported as such (that IS the pathology).
@@ -80,14 +80,13 @@ def run_mode(name: str, env_pins: dict, timeout: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--timeout", type=int, default=600)
-    ap.add_argument("--modes", default="chunked,short,tiled")
+    ap.add_argument("--modes", default="chunked,tiled")
     args = ap.parse_args()
     # run_worker pins every other kernel knob to "0" per arm, so e.g. a
     # session LAM_SLIDE_NO_FLASH_BWD=1 cannot veto the tiled arm.
     envs = {
         "chunked": {"LAM_SLIDE_NO_FLASH_BWD": "1"},
-        "short": {"LAM_SLIDE_SHORT_BWD": "1"},
-        "tiled": {"LAM_SLIDE_FORCE_TILED_BWD": "1"},
+        "tiled": {},  # the shipping default path
     }
     for mode in args.modes.split(","):
         r = run_mode(mode, envs[mode], args.timeout)

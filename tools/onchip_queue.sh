@@ -17,15 +17,22 @@ run() { # name timeout cmd...
 }
 
 # 1. Headline B-sweep (bench.py bounds itself: probe + 2400s worker).
+#    Re-measure with the unfused default (fused kernels went opt-in
+#    2026-08-17 after measuring 0.95x).
 run bench 3000 python bench.py
 
-# 2. Fused-kernel A/B (evidence for the PERF.md tracked wins).
-run fused_ab 2000 python tools/measure_fused_ab.py
-
-# 3. MD17 attention-backward pathology measurements (VERDICT r1 #7).
-run md17_bwd 2000 python tools/measure_md17_bwd.py
-
-# 4. Post-outage revalidation: dopri5 + scan_layers compile, full-size step.
+# 2. Post-outage revalidation: dopri5 + scan_layers compile at T=100/1000,
+#    full-size stage-2 train step (PYTHONPATH fix 2026-08-17).
 run revalidate 2400 python tools/revalidate_tpu.py --full
+
+# 3. Fused-kernel A/B — the per-family arms (adaln_only/spatial_only)
+#    were cut off by the 22:10 wedge.
+run fused_ab 4000 python tools/measure_fused_ab.py
+
+# 4. Component decomposition of the super-linear B scaling (new tool).
+run b_scaling 2400 python tools/profile_b_scaling.py
+
+# 5. MD17 attention-backward A/B through the new tiled default.
+run md17_bwd 2000 python tools/measure_md17_bwd.py
 
 echo "=== queue done; logs in /tmp/onchip/ ==="

@@ -11,9 +11,14 @@ Runs, in order, with one-line verdicts (see docs/STATUS.md):
 """
 
 import argparse
+import os
 import subprocess
 import sys
 import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def step(name, fn):
@@ -41,8 +46,9 @@ def main():
         sys.exit(1)
 
     def bench():
-        out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
-                             text=True, timeout=900)
+        out = subprocess.run([sys.executable, os.path.join(_REPO, "bench.py")],
+                             capture_output=True, text=True, timeout=900,
+                             cwd=_REPO)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return line
 
@@ -71,6 +77,54 @@ def main():
     step("dopri5 + scan_layers (T=100)", lambda: dopri(100))
     if args.full:
         step("dopri5 + scan_layers (T=1000, protocol size)", lambda: dopri(1000))
+
+    def train_step():
+        # One full-size 4AA stage-2 training step: grad through the DiT
+        # (flash backward path) + transport loss, at the registry shapes.
+        import optax
+
+        from lam_slide_tpu.models import LatentDiT
+        from lam_slide_tpu.transport import create_transport
+
+        b, t_len = 16, 1000
+        model = LatentDiT(depth=7, in_dim=96, hidden_size=384, num_heads=16,
+                          mlp_ratio=2, n_timesteps=t_len, dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        x1 = jax.random.normal(key, (b, t_len, 2, 96))
+        x_cond = jnp.zeros_like(x1)
+        mask = jnp.zeros((b, t_len, 2), jnp.int32).at[:, :1].set(1)
+        variables = jax.jit(lambda: model.init(key, x1, jnp.zeros((b,)),
+                                               x_cond, mask))()
+        transport = create_transport(path_type="GVP", prediction="data")
+        opt = optax.adamw(1e-4)
+        opt_state = jax.jit(opt.init)(variables)
+
+        @jax.jit
+        def one_step(params, opt_state, key):
+            def loss_fn(p):
+                out = transport.training_losses(
+                    key, lambda xt, t, **kw: model.apply(p, xt, t, **kw),
+                    x1, model_kwargs={"x_cond": x_cond,
+                                      "x_cond_mask": mask})
+                return out["loss"].mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        t0 = time.perf_counter()
+        params, opt_state, loss = one_step(variables, opt_state, key)
+        loss = float(loss)
+        compile_and_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, _, loss2 = one_step(params, opt_state, jax.random.PRNGKey(1))
+        loss2 = float(loss2)
+        step_s = time.perf_counter() - t0
+        return (f"loss={loss:.4f}->{loss2:.4f} compile+1st={compile_and_first:.1f}s "
+                f"step={step_s*1e3:.0f}ms (B={b}, T={t_len})")
+
+    if args.full:
+        step("full-size 4AA stage-2 train step", train_step)
 
 
 if __name__ == "__main__":
