@@ -36,7 +36,7 @@ def _replicate_if_mesh(params, fs_variables, mesh):
     return put(params), put(fs_variables)
 
 
-def _shard_or_device(batch, mesh):
+def _shard_or_device(batch, mesh, loader=None):
     if mesh is None:
         return jax.tree.map(jnp.asarray, batch)
     from lam_slide_tpu.parallel.mesh import shard_batch
@@ -45,7 +45,13 @@ def _shard_or_device(batch, mesh):
     b = len(next(iter(batch.values())))
     if b % n_data:  # remainder batch (drop_last=False loaders): run replicated
         return jax.tree.map(jnp.asarray, batch)
-    return shard_batch(batch, mesh)
+    # Multihost: full_batch_feed loaders hand every process the FULL global
+    # batch, so shard_batch must slice this process's rows out rather than
+    # treating the whole batch as process-local (same contract as
+    # trainer._put — without it the assembled global batch would contain
+    # every sample process_count times).
+    full = bool(getattr(loader, "full_batch_feed", False))
+    return shard_batch(batch, mesh, full_local=full)
 
 
 def evaluate_md17(
@@ -72,7 +78,7 @@ def evaluate_md17(
     for name, loader in loaders.items():
         ades, fdes = [], []
         for batch in loader:
-            batch = _shard_or_device(batch, mesh)
+            batch = _shard_or_device(batch, mesh, loader)
             true_pos = batch["pos"][:, cond_end:]
             mask = batch["attention_mask"][:, cond_end:]
             batch = zero_target_frames(batch, cond_end)
@@ -120,7 +126,7 @@ def evaluate_min_k(
     for name, loader in loaders.items():
         accum = {"ade": [], "fde": [], "ade_post": [], "fde_post": []}
         for batch in loader:
-            batch = _shard_or_device(batch, mesh)
+            batch = _shard_or_device(batch, mesh, loader)
             true_pos = batch[pos_key][:, cond_end:]
             emask = batch["attention_mask"][:, 0]
             batch = zero_target_frames(batch, cond_end, keys=(pos_key,))

@@ -52,10 +52,23 @@ def _concat_loaders_batch(loader):
 
 
 def load_checkpoint_raw(run_dir: str, which: str = "best") -> dict:
-    """Read an Orbax checkpoint without a target skeleton → nested dict."""
+    """Read an Orbax checkpoint without a target skeleton → nested dict.
+
+    Falls back ``best`` → ``last`` (a run that never improved its monitored
+    metric has no ``best``) with a visible warning — silently testing a
+    different checkpoint than requested would misattribute the metrics.
+    """
+    run_dir = os.path.abspath(run_dir)  # Orbax requires absolute paths
     path = os.path.join(run_dir, "checkpoints", which)
     if not os.path.exists(path):
-        path = os.path.join(run_dir, "checkpoints", "last")
+        fallback = os.path.join(run_dir, "checkpoints", "last")
+        if which != "last" and os.path.exists(fallback):
+            print(f"WARNING: no '{which}' checkpoint in {run_dir}; "
+                  "falling back to 'last'", flush=True)
+            path = fallback
+        else:
+            raise FileNotFoundError(f"no '{which}' checkpoint under "
+                                    f"{run_dir}/checkpoints")
     return ocp.StandardCheckpointer().restore(path)
 
 

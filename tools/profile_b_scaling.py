@@ -13,9 +13,14 @@ super-linear term can be located instead of guessed at:
   temporal_heads  pack->head-major transpose + back
   temporal_linear linear1 (D->3D+M) + gelu + linear2 on [B*L, T, .]
   packed_normrope packed QKNorm + RoPE on q,k     [B*L, T, D]
-  spatial_fused   one-pass spatial block kernel   [B*T, L, D]
-  residual_adaln  fused residual+LN+modulate x2   [B, T, L, D]
+  spatial_block   whole spatial block             [B*T, L, D]
+  residual_adaln  residual+LN+modulate x2         [B, T, L, D]
   axis_swap       [B,T,L,D] -> [B*L,T,D] -> back
+
+spatial_block and residual_adaln go through the same dispatchers the model
+uses (fused Pallas kernel iff LAM_SLIDE_FUSED=1, else the XLA reference
+composition — opt-in since the 2026-08-17 A/B); the active path is
+recorded in the output as "fused_active" so rows can't be misattributed.
 
 Prints one JSON line per (B, component) and a summary with the
 depth-scaled component sum vs the measured full eval.
@@ -138,7 +143,7 @@ def components(b):
 
     out["packed_normrope"] = timeit(normrope, qp)
 
-    # --- fused spatial block (per layer) ---
+    # --- spatial block (per layer; fused or reference per dispatch) ---
     from lam_slide_tpu.ops.fused_spatial_block import fused_spatial_block
 
     xs = jax.random.normal(key, (b * T, L, D), bt)
@@ -152,15 +157,18 @@ def components(b):
                                    w2.astype(jnp.float32), b2, cos_sl, sin_sl,
                                    H, scale=SCALE)
 
-    out["spatial_fused"] = timeit(sp, xs)
+    out["spatial_block"] = timeit(sp, xs)
 
-    # --- fused residual adaln (x2 per layer) ---
+    # --- residual adaln (x2 per layer; fused or reference per the
+    #     LAM_SLIDE_FUSED dispatch — recorded in the output) ---
     from lam_slide_tpu.ops.fused_adaln import residual_adaln_modulate
 
     x4 = jax.random.normal(key, (b, T, L, D), bt)
-    shift = jnp.zeros((b, D), bt)
-    scl = jnp.zeros((b, D), bt)
-    gate = jnp.ones((b, D), bt)
+    # mods broadcast over (T, L) exactly as the model passes them
+    # (latent_dit.py Modulation: out[:, None, None, :])
+    shift = jnp.zeros((b, 1, 1, D), bt)
+    scl = jnp.zeros((b, 1, 1, D), bt)
+    gate = jnp.ones((b, 1, 1, D), bt)
 
     def ra(xb):
         x1, h1 = residual_adaln_modulate(xb, xb, gate, shift, scl)
@@ -184,14 +192,19 @@ def main():
     ap.add_argument("--batches", default="8,32,128")
     ap.add_argument("--depth", type=int, default=7)
     args = ap.parse_args()
+    from lam_slide_tpu.ops import fused_adaln, fused_spatial_block
+
+    fused_active = {"adaln": fused_adaln._use_kernel(),
+                    "spatial": fused_spatial_block._use_kernel()}
     for b in (int(s) for s in args.batches.split(",")):
         r = components(b)
         per_layer = (r["temporal_attn"] + r["temporal_heads"]
                      + r["temporal_linear"] + r["packed_normrope"]
-                     + r["spatial_fused"] + r["residual_adaln"]
+                     + r["spatial_block"] + r["residual_adaln"]
                      + r["axis_swap"])
         print(json.dumps({
             "batch": b,
+            "fused_active": fused_active,
             "ms": {k: round(v * 1e3, 3) for k, v in r.items()},
             "depth_scaled_sum_ms": round(per_layer * args.depth * 1e3, 2),
             "full_ms": round(r["full"] * 1e3, 2),

@@ -46,8 +46,11 @@ def main():
         sys.exit(1)
 
     def bench():
+        # bench.py's own budget: up to ~390s of tunnel probes + a 2400s
+        # measurement worker (5-point B-sweep) — a shorter cap here would
+        # kill a healthy in-progress benchmark and misreport the outage.
         out = subprocess.run([sys.executable, os.path.join(_REPO, "bench.py")],
-                             capture_output=True, text=True, timeout=900,
+                             capture_output=True, text=True, timeout=3000,
                              cwd=_REPO)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return line
