@@ -1,0 +1,135 @@
+"""Capture + summarize a device trace of one 4AA drift eval (bench shapes).
+
+The round-1 op breakdown in docs/PERF.md was taken with the fused kernels
+active; they are now opt-in (measured 0.95x), so the remaining-headroom
+hunt needs a fresh breakdown of the shipping XLA-composition path. This
+captures a jax.profiler trace of a chained Euler solve at the given batch,
+parses the trace-viewer JSON (no tensorboard needed), and prints the
+per-op-category totals for the TPU device track.
+
+    python tools/capture_trace.py [--batch 8] [--out /tmp/dit_trace]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def capture(batch: int, out_dir: str) -> None:
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from lam_slide_tpu.models import LatentDiT
+    from lam_slide_tpu.transport import Sampler, create_transport
+
+    T, L, DIN, NUM_STEPS = 1000, 2, 96, 10
+    model = LatentDiT(depth=7, in_dim=DIN, hidden_size=384, num_heads=16,
+                      mlp_ratio=2, n_timesteps=T, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (batch, T, L, DIN))
+    x_cond = jnp.zeros_like(x)
+    mask = jnp.zeros((batch, T, L), jnp.int32).at[:, :1].set(1)
+    variables = jax.jit(
+        lambda: model.init(key, x, jnp.zeros((batch,)), x_cond, mask))()
+    transport = create_transport(path_type="GVP", prediction="data")
+    sample_fn = Sampler(transport).sample_ode(sampling_method="euler",
+                                              num_steps=NUM_STEPS)
+
+    def model_fn(xt, t, **kw):
+        return model.apply(variables, xt, t, **kw)
+
+    @jax.jit
+    def one_solve(noise):
+        return jnp.sum(sample_fn(None, noise, model_fn, x_cond=x_cond,
+                                 x_cond_mask=mask))
+
+    noise = jax.random.normal(key, x.shape)
+    float(one_solve(noise))  # compile + warm
+    t0 = time.perf_counter()
+    with jax.profiler.trace(out_dir):
+        float(one_solve(noise))
+    print(f"# traced solve: {(time.perf_counter()-t0)*1e3:.1f} ms wall",
+          file=sys.stderr)
+
+
+_CATEGORIES = (
+    ("flash_attention", re.compile(r"flash|pallas", re.I)),
+    ("matmul", re.compile(r"dot|conv|matmul", re.I)),
+    ("copy/transpose", re.compile(r"copy|transpose|bitcast", re.I)),
+    ("fusion(elementwise)", re.compile(r"fusion|add|mul|sub|divide|exp|tanh|"
+                                       r"gelu|rsqrt|erf", re.I)),
+    ("reduce", re.compile(r"reduce", re.I)),
+    ("dynamic-slice/update", re.compile(r"slice|gather|scatter|pad", re.I)),
+)
+
+
+def summarize(out_dir: str, top: int = 25) -> None:
+    files = sorted(glob.glob(os.path.join(
+        out_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not files:
+        print(json.dumps({"error": "no trace files", "dir": out_dir}))
+        return
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device track: pid whose process_name mentions TPU
+    tpu_pids = {e["pid"] for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    per_op, total = {}, 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        name = e.get("name", "")
+        tid_dur = float(e.get("dur", 0.0))
+        # The 'Steps' meta-event spans the whole program — skip roll-ups.
+        if name.lower() in ("steps",) or tid_dur <= 0:
+            continue
+        per_op[name] = per_op.get(name, 0.0) + tid_dur
+        total += tid_dur
+    cats = {}
+    for name, dur in per_op.items():
+        for cat, pat in _CATEGORIES:
+            if pat.search(name):
+                cats[cat] = cats.get(cat, 0.0) + dur
+                break
+        else:
+            cats.setdefault("other", 0.0)
+            cats["other"] += dur
+    out = {
+        "trace": files[-1],
+        "device_total_ms": round(total / 1e3, 3),
+        "categories_ms": {k: round(v / 1e3, 3)
+                          for k, v in sorted(cats.items(),
+                                             key=lambda kv: -kv[1])},
+        "top_ops_ms": {k: round(v / 1e3, 3)
+                       for k, v in sorted(per_op.items(),
+                                          key=lambda kv: -kv[1])[:top]},
+    }
+    print(json.dumps(out))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/dit_trace")
+    ap.add_argument("--summarize-only", action="store_true",
+                    help="parse an existing trace dir, no chip needed")
+    args = ap.parse_args()
+    if not args.summarize_only:
+        capture(args.batch, args.out)
+    summarize(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,9 @@ run fused_ab 4000 python tools/measure_fused_ab.py
 # 4. Component decomposition of the super-linear B scaling (new tool).
 run b_scaling 2400 python tools/profile_b_scaling.py
 
+# 4b. Fresh op-level trace of the default (unfused) drift eval.
+run trace 1200 python tools/capture_trace.py
+
 # 5. MD17 attention-backward A/B through the new tiled default.
 run md17_bwd 2000 python tools/measure_md17_bwd.py
 
