@@ -26,6 +26,7 @@ TPU-first design notes
 """
 
 import math
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -265,26 +266,50 @@ class ParallelMLPAttention(nn.Module):
                     q, k, v, cos_l, sin_l, qs_l, ks_l, h, float(scale), 1e-6
                 )
         else:
-            q = packed_rmsnorm(q, h, q_scale)
-            k = packed_rmsnorm(k, h, k_scale)
-            if cos is not None:
-                cos_l, sin_l = lane_rope_tables(cos, sin, h)
-                q = packed_rope(q, cos_l, sin_l)
-                k = packed_rope(k, cos_l, sin_l)
-            if self.attention_mode != "linear" and n <= self.packed_threshold:
-                attn = packed_small_attention(q, k, v, h, scale=self.qk_scale)
-            else:
-                def to_heads(t):
-                    return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+            def to_heads(t):
+                return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+
+            long_sdp = (self.attention_mode != "linear"
+                        and n > self.packed_threshold)
+            headmajor = (long_sdp and cos is not None and os.environ.get(
+                "LAM_SLIDE_HEADMAJOR_NORMROPE") == "1")
+            if headmajor:
+                # A/B knob: transpose the RAW q/k/v first, then QKNorm+RoPE
+                # as head-major elementwise ops — the packed-layout versions
+                # use segment/pair-swap matmuls that block XLA from fusing
+                # them into the transpose copies, costing separate HBM
+                # passes per layer. Same math to fp32 rounding
+                # (tests/test_packed_attention.py pins parity).
+                from lam_slide_tpu.ops.packed_attention import (
+                    headmajor_rmsnorm,
+                    headmajor_rope,
+                )
 
                 qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
-                if self.attention_mode == "linear":
-                    ah = linear_attention(qh, kh, vh)
-                else:
-                    ah = dot_product_attention(
-                        qh, kh, vh, scale=self.qk_scale, backend=self.backend
-                    )
+                qh = headmajor_rope(headmajor_rmsnorm(qh, q_scale), cos, sin)
+                kh = headmajor_rope(headmajor_rmsnorm(kh, k_scale), cos, sin)
+                ah = dot_product_attention(
+                    qh, kh, vh, scale=self.qk_scale, backend=self.backend
+                )
                 attn = ah.transpose(0, 2, 1, 3).reshape(b, n, d)
+            else:
+                q = packed_rmsnorm(q, h, q_scale)
+                k = packed_rmsnorm(k, h, k_scale)
+                if cos is not None:
+                    cos_l, sin_l = lane_rope_tables(cos, sin, h)
+                    q = packed_rope(q, cos_l, sin_l)
+                    k = packed_rope(k, cos_l, sin_l)
+                if self.attention_mode != "linear" and n <= self.packed_threshold:
+                    attn = packed_small_attention(q, k, v, h, scale=self.qk_scale)
+                else:
+                    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+                    if self.attention_mode == "linear":
+                        ah = linear_attention(qh, kh, vh)
+                    else:
+                        ah = dot_product_attention(
+                            qh, kh, vh, scale=self.qk_scale, backend=self.backend
+                        )
+                    attn = ah.transpose(0, 2, 1, 3).reshape(b, n, d)
 
         # linear2 applied as two weight-slice dots — same math as
         # concat([attn, gelu(mlp)]) @ w2 (nn.Dense with dtype=self.dtype)

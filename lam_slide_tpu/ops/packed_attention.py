@@ -136,3 +136,39 @@ def packed_small_attention(
             acc = term if acc is None else acc + term
         out_rows.append(acc)
     return jnp.stack(out_rows, axis=1).astype(v.dtype)
+
+
+def headmajor_rmsnorm(
+    x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Per-head RMSNorm in head-major layout: x [..., T, dh], scale [dh].
+
+    Same math (fp32 stats, same rounding points) as ``packed_rmsnorm`` on
+    the packed layout, but expressed as a pure last-axis reduction +
+    elementwise ops — no segment-matrix matmul, so XLA can fuse it into the
+    surrounding pack→head-major transpose copy instead of running separate
+    HBM passes (the packed version's ``(x*x) @ S`` dot blocks that fusion).
+    """
+    x32 = x.astype(jnp.float32)
+    ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    rr = jax.lax.rsqrt(ms + eps)
+    return (x32 * rr * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def headmajor_rope(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """RoPE in head-major layout: x [..., T, dh]; cos/sin [T, dh/2] fp32.
+
+    Pair convention identical to ``packed_rope``/``_pair_swap_matrix``:
+    partner lane pairs are (-x_odd, x_even) interleaved, each angle repeated
+    for both lanes of its pair. Elementwise (no pair-swap matmul) so it
+    fuses with adjacent copies.
+    """
+    dh = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    x2 = x32.reshape(*x.shape[:-1], dh // 2, 2)
+    partner = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x32.shape)
+    rep_cos = jnp.repeat(cos, 2, axis=-1)  # [T, dh]
+    rep_sin = jnp.repeat(sin, 2, axis=-1)
+    return (x32 * rep_cos + partner * rep_sin).astype(x.dtype)

@@ -80,3 +80,73 @@ def test_bf16_packed_attention():
     out = packed_small_attention(q, q, q, H)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+class TestHeadMajorNormRope:
+    """Head-major elementwise QKNorm/RoPE (the fuse-into-transpose A/B
+    path, LAM_SLIDE_HEADMAJOR_NORMROPE=1) must match the packed-layout
+    ops bit-for-bit in fp32 and to bf16 rounding end-to-end."""
+
+    def test_headmajor_rmsnorm_matches_packed(self):
+        from lam_slide_tpu.ops.packed_attention import headmajor_rmsnorm
+
+        x = jax.random.normal(jax.random.PRNGKey(10), (N, H, L, DH))
+        scale = jax.random.uniform(jax.random.PRNGKey(11), (DH,)) + 0.5
+        ref = _unpack(packed_rmsnorm(_pack(x), H, scale))
+        out = headmajor_rmsnorm(x, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_headmajor_rope_matches_packed(self):
+        from lam_slide_tpu.ops.packed_attention import headmajor_rope
+
+        x = jax.random.normal(jax.random.PRNGKey(12), (N, H, L, DH))
+        cos, sin = rope_cos_sin(L, DH)
+        cos_l, sin_l = lane_rope_tables(cos, sin, H)
+        ref = _unpack(packed_rope(_pack(x), cos_l, sin_l))
+        out = headmajor_rope(x, cos, sin)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_model_knob_parity(self, monkeypatch):
+        """Full DiT forward with the knob on == knob off (fp32)."""
+        from lam_slide_tpu.models import LatentDiT
+
+        model = LatentDiT(depth=2, in_dim=8, hidden_size=32, num_heads=4,
+                          mlp_ratio=2, n_timesteps=12)
+        key = jax.random.PRNGKey(13)
+        x = jax.random.normal(key, (2, 12, 2, 8))
+        x_cond = jnp.zeros_like(x)
+        mask = jnp.zeros((2, 12, 2), jnp.int32).at[:, :1].set(1)
+        t = jnp.full((2,), 0.3)
+        variables = model.init(key, x, t, x_cond, mask)
+
+        monkeypatch.delenv("LAM_SLIDE_HEADMAJOR_NORMROPE", raising=False)
+        ref = model.apply(variables, x, t, x_cond, mask)
+        monkeypatch.setenv("LAM_SLIDE_HEADMAJOR_NORMROPE", "1")
+        out = model.apply(variables, x, t, x_cond, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_model_knob_grad_parity(self, monkeypatch):
+        """Gradients agree too (the knob must be training-safe)."""
+        from lam_slide_tpu.models import LatentDiT
+
+        model = LatentDiT(depth=1, in_dim=8, hidden_size=32, num_heads=4,
+                          mlp_ratio=2, n_timesteps=12)
+        key = jax.random.PRNGKey(14)
+        x = jax.random.normal(key, (2, 12, 2, 8))
+        x_cond = jnp.zeros_like(x)
+        mask = jnp.zeros((2, 12, 2), jnp.int32).at[:, :1].set(1)
+        t = jnp.full((2,), 0.3)
+        variables = model.init(key, x, t, x_cond, mask)
+
+        def loss(v):
+            return jnp.sum(model.apply(v, x, t, x_cond, mask) ** 2)
+
+        monkeypatch.delenv("LAM_SLIDE_HEADMAJOR_NORMROPE", raising=False)
+        g_ref = jax.grad(loss)(variables)
+        monkeypatch.setenv("LAM_SLIDE_HEADMAJOR_NORMROPE", "1")
+        g_out = jax.grad(loss)(variables)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+            g_ref, g_out)

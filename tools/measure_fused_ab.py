@@ -42,6 +42,9 @@ ARMS = {
     "unfused": {},
     "adaln_only": {"LAM_SLIDE_FUSED": "1", "LAM_SLIDE_NO_FUSED_SPATIAL": "1"},
     "spatial_only": {"LAM_SLIDE_FUSED": "1", "LAM_SLIDE_NO_FUSED_ADALN": "1"},
+    # Head-major elementwise QKNorm/RoPE after the transpose (fuses into
+    # the copy) instead of packed-layout matmul versions before it.
+    "headmajor": {"LAM_SLIDE_HEADMAJOR_NORMROPE": "1"},
 }
 
 
@@ -49,7 +52,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--timeout", type=int, default=900)
-    ap.add_argument("--arms", default="fused,unfused,adaln_only,spatial_only")
+    ap.add_argument("--arms",
+                    default="fused,unfused,adaln_only,spatial_only,headmajor")
     args = ap.parse_args()
     results = {}
     for arm in args.arms.split(","):
