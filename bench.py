@@ -110,23 +110,7 @@ def measure(batch: int) -> float:
     return batch * NUM_STEPS / dt
 
 
-def worker() -> None:
-    # Per-batch isolation: one failing sweep point (OOM at wide B, a shape
-    # or compile bug) must not discard the points already measured or get
-    # misreported as a tunnel outage downstream.
-    sweep, errors = {}, {}
-    for b in BATCH_SWEEP:
-        try:
-            sweep[b] = measure(b)
-            print(f"# B={b}: {sweep[b]:.1f} steps/s", file=sys.stderr, flush=True)
-        except Exception as e:
-            errors[b] = f"{type(e).__name__}: {e}"[:200]
-            print(f"# B={b}: FAILED {errors[b]}", file=sys.stderr, flush=True)
-    if not sweep:
-        print(json.dumps({**METRIC, "value": None, "vs_baseline": None,
-                          "error": "bench_failed",
-                          "detail": "; ".join(f"B={b}: {e}" for b, e in errors.items())[:300]}))
-        return
+def _result_json(sweep, errors, partial_after=None) -> str:
     best_b = max(sweep, key=sweep.get)
     value = sweep[best_b]
     out = {
@@ -138,7 +122,34 @@ def worker() -> None:
     }
     if errors:
         out["sweep_errors"] = {str(b): e for b, e in errors.items()}
-    print(json.dumps(out))
+    if partial_after is not None:
+        out["partial"] = f"sweep cut off after B={partial_after}"
+    return json.dumps(out)
+
+
+def worker() -> None:
+    # Per-batch isolation: one failing sweep point (OOM at wide B, a shape
+    # or compile bug) must not discard the points already measured or get
+    # misreported as a tunnel outage downstream. A full result line is
+    # (re)printed after EVERY point so a mid-sweep tunnel wedge (worker
+    # killed by the watchdog) still leaves a salvageable best-so-far line
+    # in the captured stdout.
+    sweep, errors = {}, {}
+    for b in BATCH_SWEEP:
+        try:
+            sweep[b] = measure(b)
+            print(f"# B={b}: {sweep[b]:.1f} steps/s", file=sys.stderr, flush=True)
+        except Exception as e:
+            errors[b] = f"{type(e).__name__}: {e}"[:200]
+            print(f"# B={b}: FAILED {errors[b]}", file=sys.stderr, flush=True)
+        if sweep:
+            print(_result_json(sweep, errors,
+                               partial_after=b if b != BATCH_SWEEP[-1] else None),
+                  flush=True)
+    if not sweep:
+        print(json.dumps({**METRIC, "value": None, "vs_baseline": None,
+                          "error": "bench_failed",
+                          "detail": "; ".join(f"B={b}: {e}" for b, e in errors.items())[:300]}))
 
 
 def _probe_tunnel(timeout_s: float) -> tuple[bool, str]:
@@ -177,7 +188,20 @@ def main() -> None:
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
                             "--worker"], timeout=2400, cwd=here,
                            capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # The worker reprints a best-so-far result line after every sweep
+        # point — salvage the completed points instead of discarding the
+        # whole run as an outage.
+        out = e.stdout if isinstance(e.stdout, str) else (
+            e.stdout.decode(errors="replace") if e.stdout else "")
+        for line in reversed(out.splitlines()):
+            if line.startswith("{"):
+                try:
+                    json.loads(line)  # the kill can truncate the last line
+                except ValueError:
+                    continue
+                print(line)
+                return
         _diagnostic("benchmark worker exceeded 2400s (tunnel wedged mid-run?)")
         return
     sys.stderr.write(p.stderr)

@@ -43,3 +43,59 @@ def test_worker_all_batches_failing_is_bench_failed(monkeypatch, capsys):
     assert rec["value"] is None
     assert rec["error"] == "bench_failed"  # tunnel was fine; code was not
     assert "shape mismatch" in rec["detail"]
+
+
+def test_worker_reprints_result_after_every_point(monkeypatch, capsys):
+    """A mid-sweep kill must leave a salvageable best-so-far line: the
+    worker reprints the full result JSON after every sweep point, with a
+    'partial' marker on all but the final one."""
+    import bench
+
+    monkeypatch.setattr(bench, "measure", lambda b: 100.0 + b)
+    bench.worker()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == len(bench.BATCH_SWEEP)
+    assert all("partial" in rec for rec in lines[:-1])
+    assert "partial" not in lines[-1]
+    assert lines[0]["sweep"] == {str(bench.BATCH_SWEEP[0]):
+                                 100.0 + bench.BATCH_SWEEP[0]}
+
+
+def test_main_salvages_partial_sweep_on_worker_timeout(monkeypatch, capsys):
+    """If the watchdog kills a wedged worker, main() emits the last VALID
+    result line from the partial stdout instead of a blanket outage."""
+    import subprocess
+
+    import bench
+
+    good = json.dumps({**bench.METRIC, "value": 123.0, "vs_baseline": 0.5,
+                       "batch": 8, "sweep": {"8": 123.0},
+                       "partial": "sweep cut off after B=8"})
+    partial_stdout = good + "\n" + '{"metric": "truncat'  # kill mid-print
+
+    def fake_run(*a, **k):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=2400,
+                                        output=partial_stdout, stderr="")
+
+    monkeypatch.setattr(bench, "_probe_tunnel", lambda t: (True, ""))
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.main()
+    rec = _last_json(capsys)
+    assert rec["value"] == 123.0 and rec["partial"]
+
+
+def test_main_reports_outage_when_no_partial_line(monkeypatch, capsys):
+    import subprocess
+
+    import bench
+
+    def fake_run(*a, **k):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=2400,
+                                        output="", stderr="")
+
+    monkeypatch.setattr(bench, "_probe_tunnel", lambda t: (True, ""))
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.main()
+    rec = _last_json(capsys)
+    assert rec["error"] == "tpu_unavailable"
