@@ -42,7 +42,11 @@ import time
 
 T, L, DIN = 1000, 2, 96
 NUM_STEPS = 10
-BATCH_SWEEP = (8, 16, 32, 64, 128)
+# Override for opportunistic runs inside short tunnel-heal windows, e.g.
+# LAM_SLIDE_BENCH_SWEEP=8 measures just the (measured-best) headline batch.
+BATCH_SWEEP = tuple(
+    int(t) for t in os.environ.get("LAM_SLIDE_BENCH_SWEEP",
+                                   "8,16,32,64,128").split(","))
 METRIC = {
     "metric": "4aa_latent_ode_sampler_steps_per_sec_per_chip",
     "unit": "traj_ode_steps/s",
@@ -174,11 +178,13 @@ def _diagnostic(detail: str) -> None:
 def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     # Fail fast on a dead/wedged tunnel; one retry after a short pause in
-    # case it is mid-heal.
-    ok, detail = _probe_tunnel(180)
+    # case it is mid-heal. A healthy tunnel answers the trivial jit in
+    # ~2s (30s with a cold compile cache); 90s headroom is plenty, and the
+    # heal windows are sometimes shorter than two 180s probes.
+    ok, detail = _probe_tunnel(90)
     if not ok:
-        time.sleep(30)
-        ok, detail = _probe_tunnel(180)
+        time.sleep(20)
+        ok, detail = _probe_tunnel(90)
     if not ok:
         _diagnostic(detail)
         return

@@ -16,26 +16,35 @@ run() { # name timeout cmd...
   return 0
 }
 
-# 1. Headline B-sweep (bench.py bounds itself: probe + 2400s worker).
-#    Re-measure with the unfused default (fused kernels went opt-in
-#    2026-08-17 after measuring 0.95x).
+# The tunnel heal windows can be sub-10-minutes: land the highest-value
+# numbers first and keep the early steps short.
+
+# 1. FAST headline at the measured-best batch (~4 min incl. compile) —
+#    gets the unfused-default number on record even if the window closes.
+run bench_fast 900 env LAM_SLIDE_BENCH_SWEEP=8 python bench.py
+
+# 2. The untested hypothesis: head-major norm/rope arm vs default (~8 min).
+run headmajor_ab 1800 python tools/measure_fused_ab.py --arms unfused,headmajor
+
+# 3. Full headline B-sweep (bench.py bounds itself; worker salvage keeps
+#    completed points if the tunnel wedges mid-sweep).
 run bench 3000 python bench.py
 
-# 2. Post-outage revalidation: dopri5 + scan_layers compile at T=100/1000,
+# 4. Post-outage revalidation: dopri5 + scan_layers compile at T=100/1000,
 #    full-size stage-2 train step (PYTHONPATH fix 2026-08-17).
 run revalidate 2400 python tools/revalidate_tpu.py --full
 
-# 3. Fused-kernel A/B — the per-family arms (adaln_only/spatial_only)
+# 5. Fused-kernel A/B — the per-family arms (adaln_only/spatial_only)
 #    were cut off by the 22:10 wedge.
-run fused_ab 4000 python tools/measure_fused_ab.py
+run fused_ab 4000 python tools/measure_fused_ab.py --arms fused,adaln_only,spatial_only
 
-# 4. Component decomposition of the super-linear B scaling (new tool).
+# 6. Component decomposition of the super-linear B scaling (new tool).
 run b_scaling 2400 python tools/profile_b_scaling.py
 
-# 4b. Fresh op-level trace of the default (unfused) drift eval.
+# 7. Fresh op-level trace of the default (unfused) drift eval.
 run trace 1200 python tools/capture_trace.py
 
-# 5. MD17 attention-backward A/B through the new tiled default.
+# 8. MD17 attention-backward A/B through the new tiled default.
 run md17_bwd 2000 python tools/measure_md17_bwd.py
 
 echo "=== queue done; logs in /tmp/onchip/ ==="
