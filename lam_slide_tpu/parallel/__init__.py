@@ -9,6 +9,10 @@ from lam_slide_tpu.parallel.ring_attention import (
     ring_attention,
     sequence_parallel_attention,
 )
+from lam_slide_tpu.parallel.tp import (
+    shard_train_state,
+    tree_tp_shardings,
+)
 
 __all__ = [
     "MeshSpec",
@@ -18,4 +22,6 @@ __all__ = [
     "ring_attention",
     "sequence_parallel_attention",
     "shard_batch",
+    "shard_train_state",
+    "tree_tp_shardings",
 ]

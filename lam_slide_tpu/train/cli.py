@@ -32,6 +32,12 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--no-mesh", action="store_true", help="single-device (no sharding)")
     parser.add_argument(
+        "--model-axis", type=int, default=1,
+        help="mesh model-axis size (tensor parallelism, parallel/tp.py): "
+             "devices lay out as (data x model); the DiT's per-block "
+             "matmuls shard column/row-parallel over 'model'",
+    )
+    parser.add_argument(
         "--devices", type=int, default=None,
         help="force N virtual CPU devices (sharding debug; sets XLA flags before jax import)",
     )
@@ -186,7 +192,9 @@ def main(argv=None):
 
     mesh = None
     if not args.no_mesh and jax.device_count() > 1:
-        mesh = make_mesh()
+        from lam_slide_tpu.parallel import MeshSpec
+
+        mesh = make_mesh(MeshSpec(model=args.model_axis))
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     if args.test_only:

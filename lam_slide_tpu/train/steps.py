@@ -29,6 +29,7 @@ def make_train_step(
     ema_decay: Optional[float] = 0.999,
     mesh: Optional[Mesh] = None,
     donate_state: bool = True,
+    respect_committed: bool = False,
 ):
     """Build a jitted ``(state, batch, rng) -> (state, metrics)`` step.
 
@@ -36,6 +37,14 @@ def make_train_step(
     counter so every step (and every resume from a checkpoint) draws a
     deterministic, distinct stream — the reference leans on torch global RNG
     (SURVEY.md §7 hard part 6).
+
+    ``respect_committed=True`` (tensor parallelism, parallel/tp.py): no
+    explicit in/out shardings are pinned — inputs keep their committed
+    layouts (TP-sharded params/EMA/moments from ``tp.shard_train_state``,
+    data-sharded batch from ``shard_batch``) and GSPMD propagates them
+    through the step, so updated params come back in the same TP layout.
+    The default replicated-params pinning would silently all-gather a TP
+    state back to replicated.
     """
 
     def _inner(params, ema_params, opt_state, step_ct, constants, batch, rng):
@@ -60,7 +69,7 @@ def make_train_step(
         # pass through untouched and must stay alive for eval/sampling code
         # holding references outside the step.
         kwargs["donate_argnums"] = (0, 1, 2, 3)
-    if mesh is not None:
+    if mesh is not None and not respect_committed:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         kwargs["in_shardings"] = (repl, repl, repl, repl, repl, data, repl)
@@ -80,12 +89,14 @@ def make_train_step(
     return step
 
 
-def make_eval_step(loss_fn: Callable, mesh: Optional[Mesh] = None, use_ema: bool = True):
+def make_eval_step(loss_fn: Callable, mesh: Optional[Mesh] = None, use_ema: bool = True,
+                   respect_committed: bool = False):
     """Build a jitted ``(state, batch, rng) -> metrics`` step on EMA weights.
 
     Mirrors the reference's EMA swap-in for validation
     (lightning_base.py:87-96) without the swap: we just evaluate
-    ``state.ema_params``.
+    ``state.ema_params``. ``respect_committed`` as in ``make_train_step``
+    (keeps a TP-sharded state in its layout instead of gathering it).
     """
 
     def step(state: TrainState, batch, rng):
@@ -96,7 +107,7 @@ def make_eval_step(loss_fn: Callable, mesh: Optional[Mesh] = None, use_ema: bool
         return metrics
 
     kwargs = {}
-    if mesh is not None:
+    if mesh is not None and not respect_committed:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         kwargs["in_shardings"] = (repl, data, repl)

@@ -134,8 +134,19 @@ class Trainer:
             if not self.quiet:
                 print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
 
-        train_step = make_train_step(self.loss_fn, tx, ema_decay=cfg.ema_decay, mesh=self.mesh)
-        eval_step = make_eval_step(self.loss_fn, mesh=self.mesh)
+        # Tensor parallelism: a mesh with model-axis > 1 carries the
+        # TP-sharded state (parallel/tp.py); the steps must respect the
+        # committed layouts instead of pinning replicated params (sharding
+        # happens after a possible resume so restored arrays get laid out).
+        tp = self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1
+        if tp:
+            from lam_slide_tpu.parallel import shard_train_state
+
+            state = shard_train_state(state, self.mesh)
+        train_step = make_train_step(self.loss_fn, tx, ema_decay=cfg.ema_decay,
+                                     mesh=self.mesh, respect_committed=tp)
+        eval_step = make_eval_step(self.loss_fn, mesh=self.mesh,
+                                   respect_committed=tp)
         rng = jax.random.PRNGKey(cfg.seed)
         n_params = param_count(state.params)
         if not self.quiet:
