@@ -59,8 +59,11 @@ _FLOPS_PER_EVAL = 2 * 7 * (
 A100_ANCHOR = 312e12 * 0.05 / _FLOPS_PER_EVAL  # traj-steps/s
 
 
-def measure(batch: int) -> float:
-    """Best sustained traj-ODE-steps/s at the given batch."""
+def build_solver(batch: int) -> dict:
+    """The exact program the headline measures: full-size 4AA denoiser +
+    Euler-10 probability-flow solve at the given batch. Shared with
+    tools/capture_trace.py so the op-level trace profiles the same program
+    the benchmark times."""
     import jax
     import jax.numpy as jnp
 
@@ -84,6 +87,23 @@ def measure(batch: int) -> float:
     def model_fn(xt, t, **kw):
         return model.apply(variables, xt, t, **kw)
 
+    def solve(noise):  # one full ODE solve -> [B, T, L, DIN]
+        return sample_fn(None, noise, model_fn, x_cond=x_cond,
+                         x_cond_mask=mask)
+
+    noise = jax.random.normal(key, x.shape)
+    return {"solve": solve, "noise": noise, "model_fn": model_fn,
+            "x_cond": x_cond, "mask": mask}
+
+
+def measure(batch: int) -> float:
+    """Best sustained traj-ODE-steps/s at the given batch."""
+    import jax
+    import jax.numpy as jnp
+
+    setup = build_solver(batch)
+    solve, noise = setup["solve"], setup["noise"]
+
     import functools
 
     @functools.partial(jax.jit, static_argnames="n_solves")
@@ -93,12 +113,11 @@ def measure(batch: int) -> float:
         # — the only reliable sync over a tunneled TPU — and chaining
         # amortizes the tunnel round-trip out of the measurement.
         def body(c, _):
-            out = sample_fn(None, c, model_fn, x_cond=x_cond, x_cond_mask=mask)
+            out = solve(c)
             return c + 1e-6 * out, jnp.sum(out)
         _, sums = jax.lax.scan(body, noise, None, length=n_solves)
         return jnp.sum(sums)
 
-    noise = jax.random.normal(key, x.shape)
     for n in (1, 4):
         float(run(noise, n))  # compile + warm both lengths
 
@@ -190,9 +209,15 @@ def main() -> None:
         return
     # Tunnel is healthy: run the measurement in a bounded worker so a
     # mid-benchmark wedge still yields a diagnostic line, not a hang.
+    # LAM_SLIDE_BENCH_WORKER_TIMEOUT shrinks the watchdog for opportunistic
+    # short-window runs (tools/onchip_queue.sh bench_fast) — any OUTER
+    # timeout wrapped around bench.py must exceed probes (~200s) + this
+    # value, or it kills the process before the salvage/diagnostic line.
+    worker_timeout = int(os.environ.get("LAM_SLIDE_BENCH_WORKER_TIMEOUT",
+                                        "2400"))
     try:
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "--worker"], timeout=2400, cwd=here,
+                            "--worker"], timeout=worker_timeout, cwd=here,
                            capture_output=True, text=True)
     except subprocess.TimeoutExpired as e:
         # The worker reprints a best-so-far result line after every sweep
@@ -208,7 +233,8 @@ def main() -> None:
                     continue
                 print(line)
                 return
-        _diagnostic("benchmark worker exceeded 2400s (tunnel wedged mid-run?)")
+        _diagnostic(f"benchmark worker exceeded {worker_timeout}s "
+                    "(tunnel wedged mid-run?)")
         return
     sys.stderr.write(p.stderr)
     lines = [l for l in p.stdout.splitlines() if l.startswith("{")]

@@ -17,12 +17,20 @@ Shapes: q [B, H, Lq, Dh]; k, v [B, H, Lk, Dh]; mask is a boolean key-padding
 mask [B, Lk] (True = attend) or a broadcastable [B, 1, Lq, Lk] tensor.
 """
 
+import os
 from typing import Optional
 
 import jax
 from jax import numpy as jnp
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+# Session-level override of the "auto" dispatch. Tensor parallelism sets
+# this to "xla" (train/cli.py --model-axis): the Pallas flash custom call
+# does not partition under GSPMD, so a model-sharded train step must route
+# attention through the partitionable XLA path. Also settable via
+# LAM_SLIDE_ATTN_BACKEND for A/B runs.
+FORCE_BACKEND: Optional[str] = None
 
 
 def _expand_mask(mask: jnp.ndarray, q_len: int) -> jnp.ndarray:
@@ -92,6 +100,9 @@ def _pick_backend(q: jnp.ndarray, mask: Optional[jnp.ndarray]) -> str:
     # 4k+). Below that, XLA's fused softmax wins on dispatch overhead.
     # Rank-4 masks (full attention bias) stay on XLA — flash takes only
     # key-padding masks.
+    forced = FORCE_BACKEND or os.environ.get("LAM_SLIDE_ATTN_BACKEND")
+    if forced:
+        return forced
     on_tpu = jax.default_backend() == "tpu"
     seq = max(q.shape[-2], 1)
     rank4_mask = mask is not None and mask.ndim == 4

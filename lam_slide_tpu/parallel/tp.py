@@ -24,11 +24,12 @@ fall back to replicated — sharding never changes semantics under GSPMD,
 only layout, so partial coverage is safe.
 
 Scope note: this is the GSPMD matmul path. The Pallas flash-attention
-custom call does not partition under GSPMD; at tiny/CPU test shapes the
-dispatcher picks the XLA attention path, and on real hardware a
-model-axis deployment would route attention through the XLA path or a
-shard_map wrapper (the attention FLOPs are the smaller term at DiT
-shapes — docs/PERF.md).
+custom call does not partition under GSPMD, so TP deployments route
+attention through the partitionable XLA path: ``train/cli.py
+--model-axis N`` sets ``ops.attention.FORCE_BACKEND = "xla"`` (the
+attention FLOPs are the smaller term at DiT shapes — docs/PERF.md; the
+shard_map ring wrapper in parallel/ring_attention.py remains the long-T
+alternative).
 """
 
 from typing import Any
@@ -50,19 +51,26 @@ def _path_names(path) -> list:
 
 
 def dit_tp_spec(path, leaf, model_size: int) -> P:
-    """PartitionSpec for one leaf of a params/EMA/optimizer tree."""
+    """PartitionSpec for one leaf of a params/EMA/optimizer tree.
+
+    ``scan_layers`` models stack every block param with a leading depth
+    axis (``blocks/layer/...``, kernels ndim 3, biases ndim 2); the rules
+    key off the TRAILING dims so both layouts shard identically — the
+    depth axis is never sharded.
+    """
     names = _path_names(path)
     if model_size <= 1:
         return P()
-    if "linear1" in names and leaf.ndim == 2:
-        if leaf.shape[1] % model_size == 0:
-            return P(None, "model")
-    elif "linear1_bias" in names and leaf.ndim == 1:
-        if leaf.shape[0] % model_size == 0:
-            return P("model")
-    elif "linear2" in names and "kernel" in names and leaf.ndim == 2:
-        if leaf.shape[0] % model_size == 0:
-            return P("model", None)
+    lead = (None,) * (leaf.ndim - 2)  # scan depth axes, replicated
+    if "linear1" in names and leaf.ndim >= 2:
+        if leaf.shape[-1] % model_size == 0:
+            return P(*lead, None, "model")
+    elif "linear1_bias" in names and leaf.ndim >= 1:
+        if leaf.shape[-1] % model_size == 0:
+            return P(*(None,) * (leaf.ndim - 1), "model")
+    elif "linear2" in names and "kernel" in names and leaf.ndim >= 2:
+        if leaf.shape[-2] % model_size == 0:
+            return P(*lead, "model", None)
     return P()
 
 

@@ -196,6 +196,12 @@ def main(argv=None):
 
         mesh = make_mesh(MeshSpec(model=args.model_axis))
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        if args.model_axis > 1:
+            # GSPMD cannot partition the Pallas flash custom call; a
+            # model-sharded step must run attention on the XLA path.
+            from lam_slide_tpu.ops import attention as _attention
+
+            _attention.FORCE_BACKEND = "xla"
 
     if args.test_only:
         from lam_slide_tpu.experiments.registry import load_checkpoint_raw

@@ -74,16 +74,32 @@ def _spawn(pid: int, nproc: int, port: int) -> subprocess.Popen:
 @pytest.fixture(scope="module")
 def pair_losses():
     """{mode: [[proc0 losses], [proc1 losses]]} from one 2-process session."""
+    import threading
+
     port = _free_port()
     procs = [_spawn(i, 2, port) for i in range(2)]
+    # Drain BOTH pipes concurrently: a sequential communicate() would let
+    # the other worker fill its 64KB stderr pipe, block in write(), stop
+    # participating in the cross-process psum, and deadlock the pair.
+    results = [None, None]
+
+    def drain(i):
+        results[i] = procs[i].communicate()
+
+    threads = [threading.Thread(target=drain, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+    if any(t.is_alive() for t in threads):
+        for q in procs:
+            q.kill()
+        for t in threads:
+            t.join(timeout=30)
+        raise TimeoutError("multihost worker pair hung past 900s")
     outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
+    for p, res in zip(procs, results):
+        out, err = res
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(out)
     result = {m: [] for m in _MODES}

@@ -123,3 +123,65 @@ def test_indivisible_dims_fall_back_to_replicated():
     assert dit_tp_spec(path, divisible, 8) == P(None, "model")
     assert dit_tp_spec(path, indivisible, 8) == P()
     assert dit_tp_spec(path, divisible, 1) == P()  # model axis absent
+
+
+def test_tp_spec_rules_scan_layers_stacked():
+    """scan_layers stacks block params with a leading depth axis
+    (blocks/layer/..., kernels ndim 3) — the rules must shard the SAME
+    trailing dims and never the depth axis."""
+    model = LatentDiT(depth=2, in_dim=DIN, hidden_size=32, num_heads=4,
+                      mlp_ratio=2, n_timesteps=T, scan_layers=True)
+    key = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(key, (2, T, L, DIN))
+    mask = jnp.zeros((2, T, L), jnp.int32).at[:, :1].set(1)
+    variables = model.init(key, x1, jnp.zeros((2,)), jnp.zeros_like(x1), mask)
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    shardings = tree_tp_shardings(variables["params"], mesh)
+    blk = shardings["blocks"]["layer"]["temporal_block"]
+    assert blk["linear1"].spec == P(None, None, "model")
+    assert blk["linear1_bias"].spec == P(None, "model")
+    assert blk["linear2"]["kernel"].spec == P(None, "model", None)
+    assert blk["linear2"]["bias"].spec == P()
+
+
+def test_tp_matches_data_parallel_scan_layers():
+    """TP equivalence holds for the stacked (nn.scan) parameter layout."""
+    model = LatentDiT(depth=2, in_dim=DIN, hidden_size=32, num_heads=4,
+                      mlp_ratio=2, n_timesteps=T, scan_layers=True)
+    key = jax.random.PRNGKey(0)
+    x1 = jax.random.normal(key, (B, T, L, DIN))
+    x_cond = jnp.zeros_like(x1)
+    mask = jnp.zeros((B, T, L), jnp.int32).at[:, :1].set(1)
+    variables = model.init(key, x1, jnp.zeros((B,)), x_cond, mask)
+    transport = create_transport(path_type="GVP", prediction="data")
+
+    def loss_fn(params, constants, batch, rng, train):
+        out = transport.training_losses(
+            rng,
+            lambda xt, t, **kw: model.apply({"params": params}, xt, t, **kw),
+            batch["x1"],
+            model_kwargs={"x_cond": batch["x_cond"],
+                          "x_cond_mask": batch["x_cond_mask"]},
+        )
+        return out["loss"].mean(), {}
+
+    batch = {"x1": np.asarray(x1), "x_cond": np.asarray(x_cond),
+             "x_cond_mask": np.asarray(mask)}
+    mesh_dp = make_mesh(MeshSpec(data=8, model=1))
+    mesh_tp = make_mesh(MeshSpec(data=4, model=2))
+    losses_dp, _ = _run(mesh_dp, variables, loss_fn, batch, tp=False)
+    losses_tp, _ = _run(mesh_tp, variables, loss_fn, batch, tp=True)
+    np.testing.assert_allclose(losses_tp, losses_dp, rtol=2e-5, atol=1e-6)
+
+
+def test_attention_backend_override(monkeypatch):
+    """ops.attention.FORCE_BACKEND (set by cli --model-axis) pins dispatch
+    to the GSPMD-partitionable XLA path regardless of shape/platform."""
+    from lam_slide_tpu.ops import attention
+
+    q = jnp.zeros((1, 2, 256, 16))  # long seq: auto would consider pallas
+    monkeypatch.setattr(attention, "FORCE_BACKEND", "xla")
+    assert attention._pick_backend(q, None) == "xla"
+    monkeypatch.setattr(attention, "FORCE_BACKEND", None)
+    monkeypatch.setenv("LAM_SLIDE_ATTN_BACKEND", "xla")
+    assert attention._pick_backend(q, None) == "xla"

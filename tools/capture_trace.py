@@ -29,31 +29,15 @@ def capture(batch: int, out_dir: str) -> None:
     import jax
     import jax.numpy as jnp
 
-    from lam_slide_tpu.models import LatentDiT
-    from lam_slide_tpu.transport import Sampler, create_transport
+    from bench import build_solver  # the EXACT program the headline times
 
-    T, L, DIN, NUM_STEPS = 1000, 2, 96, 10
-    model = LatentDiT(depth=7, in_dim=DIN, hidden_size=384, num_heads=16,
-                      mlp_ratio=2, n_timesteps=T, dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (batch, T, L, DIN))
-    x_cond = jnp.zeros_like(x)
-    mask = jnp.zeros((batch, T, L), jnp.int32).at[:, :1].set(1)
-    variables = jax.jit(
-        lambda: model.init(key, x, jnp.zeros((batch,)), x_cond, mask))()
-    transport = create_transport(path_type="GVP", prediction="data")
-    sample_fn = Sampler(transport).sample_ode(sampling_method="euler",
-                                              num_steps=NUM_STEPS)
-
-    def model_fn(xt, t, **kw):
-        return model.apply(variables, xt, t, **kw)
+    setup = build_solver(batch)
+    solve, noise = setup["solve"], setup["noise"]
 
     @jax.jit
     def one_solve(noise):
-        return jnp.sum(sample_fn(None, noise, model_fn, x_cond=x_cond,
-                                 x_cond_mask=mask))
+        return jnp.sum(solve(noise))
 
-    noise = jax.random.normal(key, x.shape)
     float(one_solve(noise))  # compile + warm
     t0 = time.perf_counter()
     with jax.profiler.trace(out_dir):
@@ -64,7 +48,9 @@ def capture(batch: int, out_dir: str) -> None:
 
 _CATEGORIES = (
     ("flash_attention", re.compile(r"flash|pallas", re.I)),
-    ("matmul", re.compile(r"dot|conv|matmul", re.I)),
+    # conv(?!ert): 'convert'/'bitcast-convert' are dtype casts, not convs
+    ("convert", re.compile(r"convert", re.I)),
+    ("matmul", re.compile(r"\bdot|conv(?!ert)|matmul", re.I)),
     ("copy/transpose", re.compile(r"copy|transpose|bitcast", re.I)),
     ("fusion(elementwise)", re.compile(r"fusion|add|mul|sub|divide|exp|tanh|"
                                        r"gelu|rsqrt|erf", re.I)),
@@ -86,13 +72,29 @@ def summarize(out_dir: str, top: int = 25) -> None:
     tpu_pids = {e["pid"] for e in events
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
+    # Per-op events live on 'XLA Ops' threads; 'XLA Modules' / 'Steps'
+    # threads carry one whole-program roll-up event per module execution —
+    # summing those would double-count the device time.
+    thread_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e.get("pid"), e.get("tid"))] = str(
+                e.get("args", {}).get("name", ""))
+    op_tids = {k for k, v in thread_names.items() if "XLA Ops" in v}
+    rollup_tids = {k for k, v in thread_names.items()
+                   if "Module" in v or "Steps" in v}
     per_op, total = {}, 0.0
     for e in events:
+        key = (e.get("pid"), e.get("tid"))
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        if op_tids:
+            if key not in op_tids:
+                continue
+        elif key in rollup_tids:  # no 'XLA Ops' naming: exclude roll-ups
             continue
         name = e.get("name", "")
         tid_dur = float(e.get("dur", 0.0))
-        # The 'Steps' meta-event spans the whole program — skip roll-ups.
         if name.lower() in ("steps",) or tid_dur <= 0:
             continue
         per_op[name] = per_op.get(name, 0.0) + tid_dur

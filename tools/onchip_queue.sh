@@ -21,7 +21,10 @@ run() { # name timeout cmd...
 
 # 1. FAST headline at the measured-best batch (~4 min incl. compile) —
 #    gets the unfused-default number on record even if the window closes.
-run bench_fast 900 env LAM_SLIDE_BENCH_SWEEP=8 python bench.py
+#    Outer timeout must exceed bench.py's internal probes (~200s) + worker
+#    watchdog, or the salvage/diagnostic line never gets printed.
+run bench_fast 900 env LAM_SLIDE_BENCH_SWEEP=8 \
+  LAM_SLIDE_BENCH_WORKER_TIMEOUT=600 python bench.py
 
 # 2. The untested hypothesis: head-major norm/rope arm vs default (~8 min).
 run headmajor_ab 1800 python tools/measure_fused_ab.py --arms unfused,headmajor
@@ -35,8 +38,9 @@ run bench 3000 python bench.py
 run revalidate 2400 python tools/revalidate_tpu.py --full
 
 # 5. Fused-kernel A/B — the per-family arms (adaln_only/spatial_only)
-#    were cut off by the 22:10 wedge.
-run fused_ab 4000 python tools/measure_fused_ab.py --arms fused,adaln_only,spatial_only
+#    were cut off by the 22:10 wedge. Includes the unfused baseline in the
+#    SAME session so the vs_unfused attribution summary actually prints.
+run fused_ab 4800 python tools/measure_fused_ab.py --arms unfused,fused,adaln_only,spatial_only
 
 # 6. Component decomposition of the super-linear B scaling (new tool).
 run b_scaling 2400 python tools/profile_b_scaling.py
