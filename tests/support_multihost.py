@@ -20,8 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-GLOBAL_BATCH = 16
-SPAN = 12
+# Kept deliberately tiny: this box has ONE cpu core, and the 2-process
+# gloo pair contends with the pytest process for it — compile time
+# dominates, so small shapes + depth 1 keep the pair inside its bound.
+GLOBAL_BATCH = 8
+SPAN = 8
 NUM_ENTITIES = 16
 
 
@@ -88,7 +91,7 @@ def _build(n_devices: int):
               if not k.startswith("cond")}
     fs_vars = _to_np(fs.init(jax.random.PRNGKey(0), frame0))
 
-    cfg2 = MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2,
+    cfg2 = MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1,
                                  hidden_size=32, num_heads=4, cond_idx=(0, 4),
                                  num_timesteps=SPAN, class_conditional=True,
                                  vec_in_dim=16)

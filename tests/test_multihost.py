@@ -90,13 +90,13 @@ def pair_losses():
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=900)
+        t.join(timeout=2400)
     if any(t.is_alive() for t in threads):
         for q in procs:
             q.kill()
         for t in threads:
             t.join(timeout=30)
-        raise TimeoutError("multihost worker pair hung past 900s")
+        raise TimeoutError("multihost worker pair hung past 2400s")
     outs = []
     for p, res in zip(procs, results):
         out, err = res
