@@ -185,3 +185,21 @@ def test_attention_backend_override(monkeypatch):
     monkeypatch.setattr(attention, "FORCE_BACKEND", None)
     monkeypatch.setenv("LAM_SLIDE_ATTN_BACKEND", "xla")
     assert attention._pick_backend(q, None) == "xla"
+
+
+def test_tp_checkpoint_roundtrip(tmp_path):
+    """A TP-sharded state checkpoints and restores into a fresh host state
+    byte-identically (the Trainer restores BEFORE sharding on resume)."""
+    from lam_slide_tpu.train.checkpoint import CheckpointManager
+
+    variables, _, _ = _setup()
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    tx = optax.adamw(1e-3)
+    state = shard_train_state(create_train_state(variables, tx), mesh)
+    ckpt = CheckpointManager(str(tmp_path), monitor="loss")
+    ckpt.save(state, {"loss": 1.0})
+    restored = ckpt.restore(create_train_state(variables, tx), "last")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored.params, jax.tree.map(np.asarray, state.params))
