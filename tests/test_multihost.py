@@ -28,6 +28,9 @@ import pytest
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
 _MODES = ("shard", "full")
+# Generous: the pair shares this box's ONE cpu core with the pytest
+# process, and jit compile time dominates the workers' wall-clock.
+_PAIR_TIMEOUT_S = 2400
 
 WORKER = r"""
 import os, sys
@@ -90,13 +93,14 @@ def pair_losses():
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=2400)
+        t.join(timeout=_PAIR_TIMEOUT_S)
     if any(t.is_alive() for t in threads):
         for q in procs:
             q.kill()
         for t in threads:
             t.join(timeout=30)
-        raise TimeoutError("multihost worker pair hung past 2400s")
+        raise TimeoutError(
+            f"multihost worker pair hung past {_PAIR_TIMEOUT_S}s")
     outs = []
     for p, res in zip(procs, results):
         out, err = res
