@@ -28,7 +28,13 @@ from lam_slide_tpu.composites.evaluation import (
 
 def _replicate_if_mesh(params, fs_variables, mesh):
     if mesh is None:
-        return params, fs_variables
+        # Single-device protocol after a mesh-trained fit: the state's
+        # params arrive committed across the training mesh's devices while
+        # fs_variables may sit on one device (or vice versa after a
+        # checkpoint load) — mixing commitments in one jit is an error.
+        # Pull both to host and let jit place them.
+        to_host = lambda t: jax.tree.map(np.asarray, t)
+        return to_host(params), to_host(fs_variables)
     from lam_slide_tpu.parallel.mesh import replicated
 
     rep = replicated(mesh)

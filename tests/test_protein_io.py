@@ -174,3 +174,49 @@ def test_md17_protocol_on_mesh_matches_single_device():
     for key in single:
         np.testing.assert_allclose(sharded[key], single[key], rtol=5e-3,
                                    err_msg=key)
+
+
+def test_md17_protocol_mixed_device_commitments():
+    """Regression: after a mesh-trained fit, `--test` (no --test-mesh)
+    hands evaluate_md17 params committed across the training mesh's
+    devices while fs_variables sit on one device — mixing commitments in
+    one jit raised 'Received incompatible devices'. The runner must
+    normalize both when mesh is None."""
+    from lam_slide_tpu.composites.md17 import (
+        MD17FirstStageConfig, MD17SecondStageConfig,
+        build_md17_first_stage, build_md17_second_stage,
+    )
+    from lam_slide_tpu.composites.testing import evaluate_md17
+    from lam_slide_tpu.data import Loader, pad_collate_temporal
+    from lam_slide_tpu.data.md17 import MD17Dataset
+    from lam_slide_tpu.parallel import MeshSpec, make_mesh, replicated
+
+    ne, span = 12, 8
+    fs_cfg = MD17FirstStageConfig(num_entities=ne, dim_input=16, dim_latent=8,
+                                  dim_entity=16, num_latents=4, dim_head_cross=4,
+                                  dim_head_latent=4, num_head_cross=2,
+                                  dropout_query=0.0)
+    fs = build_md17_first_stage(fs_cfg)
+    ds = MD17Dataset(molecule="benzene", mode="test", span=span, first_stage=False,
+                     num_entities=ne, force_length=4, rand_rotation=False,
+                     synthetic_frames=1500)
+    loader = Loader(ds, batch_size=2, collate_fn=lambda b: pad_collate_temporal(b, ne),
+                    shuffle=False, seed=0, drop_last=False)
+    batch = jax.tree.map(jnp.asarray, next(iter(loader)))
+    frame0 = {k: v[:, 0] for k, v in batch.items() if not k.startswith("cond")}
+    fs_vars = fs.init(jax.random.PRNGKey(0), frame0)  # default device only
+    cfg2 = MD17SecondStageConfig(in_dim=8, depth=1, hidden_size=16, num_heads=2,
+                                 cond_idx=(0, 3), num_timesteps=span)
+    ss = build_md17_second_stage(cfg2, fs, fs_vars)
+    x1, mk = ss.prepare_batch(fs_vars, batch)
+    params = ss.backbone.init(jax.random.PRNGKey(1), x1, jnp.zeros((2,)),
+                              mk["x_cond"], mk["x_cond_mask"])["params"]
+    # Commit params across a 2-device mesh, the way a mesh-trained
+    # TrainState hands them to the post-fit test protocol.
+    mesh = make_mesh(MeshSpec(data=2, model=1), devices=jax.devices()[:2])
+    params = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), params)
+    out = evaluate_md17(ss, params, fs_vars, {"benzene": loader}, scale=1.0,
+                        k=2, mesh=None,
+                        sampling_kwargs={"sampling_method": "euler",
+                                         "num_steps": 2})
+    assert np.isfinite(out["test/benzene/ade"])
