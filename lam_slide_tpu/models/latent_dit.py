@@ -271,9 +271,32 @@ class ParallelMLPAttention(nn.Module):
 
             long_sdp = (self.attention_mode != "linear"
                         and n > self.packed_threshold)
-            headmajor = (long_sdp and cos is not None and os.environ.get(
-                "LAM_SLIDE_HEADMAJOR_NORMROPE") == "1")
-            if headmajor:
+            from lam_slide_tpu.ops import attention as attention_mod
+            forced_backend = attention_mod.FORCE_BACKEND or os.environ.get(
+                "LAM_SLIDE_ATTN_BACKEND")
+            kernel_nr = (long_sdp and cos is not None
+                         and os.environ.get("LAM_SLIDE_KERNEL_NORMROPE") == "1"
+                         and forced_backend != "xla")
+            headmajor = (long_sdp and cos is not None and not kernel_nr
+                         and os.environ.get(
+                             "LAM_SLIDE_HEADMAJOR_NORMROPE") == "1")
+            if kernel_nr:
+                # A/B knob: QKNorm+RoPE fused INTO the flash kernel's panel
+                # loads (ops/flash_normrope.py) — the raw q/k go straight
+                # from the head transpose into the kernel; norm/rope never
+                # touch HBM as separate passes. Same math to the same
+                # rounding points (parity pinned in tests).
+                from lam_slide_tpu.ops.flash_normrope import (
+                    flash_attention_normrope,
+                )
+
+                qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+                ah = flash_attention_normrope(
+                    qh, kh, vh, q_scale, k_scale, cos, sin,
+                    scale=self.qk_scale,
+                )
+                attn = ah.transpose(0, 2, 1, 3).reshape(b, n, d)
+            elif headmajor:
                 # A/B knob: transpose the RAW q/k/v first, then QKNorm+RoPE
                 # as head-major elementwise ops — the packed-layout versions
                 # use segment/pair-swap matmuls that block XLA from fusing

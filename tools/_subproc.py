@@ -20,6 +20,7 @@ KNOBS = (
     "LAM_SLIDE_NO_FUSED_SPATIAL",
     "LAM_SLIDE_NO_FLASH_BWD",
     "LAM_SLIDE_HEADMAJOR_NORMROPE",
+    "LAM_SLIDE_KERNEL_NORMROPE",
 )
 
 

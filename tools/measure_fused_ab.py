@@ -45,6 +45,9 @@ ARMS = {
     # Head-major elementwise QKNorm/RoPE after the transpose (fuses into
     # the copy) instead of packed-layout matmul versions before it.
     "headmajor": {"LAM_SLIDE_HEADMAJOR_NORMROPE": "1"},
+    # QKNorm/RoPE fused INTO the flash kernel's panel loads — the raw
+    # head-major q/k feed the kernel directly (ops/flash_normrope.py).
+    "kernel_normrope": {"LAM_SLIDE_KERNEL_NORMROPE": "1"},
 }
 
 

@@ -59,25 +59,11 @@ run_step() { # name timeout cmd...
 }
 
 # Highest-value first; short steps early so brief windows still land numbers.
-run_step bench_fast 900 env LAM_SLIDE_BENCH_SWEEP=8 \
-  LAM_SLIDE_BENCH_WORKER_TIMEOUT=600 python bench.py
-run_step headmajor_ab 1800 python tools/measure_fused_ab.py --arms unfused,headmajor
-run_step bench 3000 python bench.py
-run_step revalidate 2400 python tools/revalidate_tpu.py --full
-run_step fused_ab 4800 python tools/measure_fused_ab.py \
-  --arms unfused,fused,adaln_only,spatial_only
-run_step b_scaling 2400 python tools/profile_b_scaling.py
-run_step trace 1200 python tools/capture_trace.py
-run_step md17_bwd 2000 python tools/measure_md17_bwd.py
-
-note "queue pass complete"
-# Re-loop over failed steps until all done or capped (a wedge mid-step
-# leaves its .ok absent; the per-step attempt cap bounds total work).
-for pass in 2 3; do
-  note "retry pass $pass"
+one_pass() {
   run_step bench_fast 900 env LAM_SLIDE_BENCH_SWEEP=8 \
     LAM_SLIDE_BENCH_WORKER_TIMEOUT=600 python bench.py
-  run_step headmajor_ab 1800 python tools/measure_fused_ab.py --arms unfused,headmajor
+  run_step headmajor_ab 2700 python tools/measure_fused_ab.py \
+    --arms unfused,headmajor,kernel_normrope
   run_step bench 3000 python bench.py
   run_step revalidate 2400 python tools/revalidate_tpu.py --full
   run_step fused_ab 4800 python tools/measure_fused_ab.py \
@@ -85,5 +71,14 @@ for pass in 2 3; do
   run_step b_scaling 2400 python tools/profile_b_scaling.py
   run_step trace 1200 python tools/capture_trace.py
   run_step md17_bwd 2000 python tools/measure_md17_bwd.py
+}
+
+one_pass
+note "queue pass complete"
+# Re-loop over failed steps until all done or capped (a wedge mid-step
+# leaves its .ok absent; the per-step attempt cap bounds total work).
+for pass in 2 3; do
+  note "retry pass $pass"
+  one_pass
 done
 note "resilient runner done"
