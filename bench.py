@@ -40,6 +40,24 @@ import subprocess
 import sys
 import time
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the expensive part of a bench run
+    over the flappy tunnel is the first compile; with the cache a re-run
+    after a tunnel wedge skips straight to execution, which is what lets
+    short heal windows land numbers. Safe if the backend declines
+    executable serialization (writes just warn). jax 0.9 ignores the
+    JAX_COMPILATION_CACHE_DIR env var — the explicit update is required;
+    call this only in the worker (importing jax in the parent is fine, but
+    keep the parent's behavior minimal)."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lam_slide_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 T, L, DIN = 1000, 2, 96
 NUM_STEPS = 10
 # Override for opportunistic runs inside short tunnel-heal windows, e.g.
@@ -98,6 +116,7 @@ def build_solver(batch: int) -> dict:
 
 def measure(batch: int) -> float:
     """Best sustained traj-ODE-steps/s at the given batch."""
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -18,3 +18,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite's 12-18 min is mostly jit
+# compiles of programs that do not change between runs; cached reruns cut
+# that substantially. Keyed by HLO hash, so code changes re-compile.
+# (jax 0.9 ignores the JAX_COMPILATION_CACHE_DIR env var — the explicit
+# config update is required.)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lam_slide_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

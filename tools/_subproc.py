@@ -24,6 +24,19 @@ KNOBS = (
 )
 
 
+# Persistent-compile-cache preamble prepended to every worker: lets an arm
+# starved by a mid-window tunnel wedge skip its compile when retried in a
+# later heal window. jax 0.9 ignores the env var; the explicit config
+# update is required (see bench._enable_compile_cache).
+_CACHE_PREAMBLE = (
+    "import os as _os, jax as _jax\n"
+    "_jax.config.update('jax_compilation_cache_dir',"
+    " _os.environ.get('JAX_COMPILATION_CACHE_DIR',"
+    " '/tmp/lam_slide_jax_cache'))\n"
+    "_jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)\n"
+)
+
+
 def run_worker(name, code, env_pins, timeout, parse, timeout_note=""):
     """Run `code` in a bounded subprocess and parse its RESULT line.
 
@@ -35,6 +48,7 @@ def run_worker(name, code, env_pins, timeout, parse, timeout_note=""):
     pins = {k: "0" for k in KNOBS}
     pins.update(env_pins)
     env = {**os.environ, **pins}
+    code = _CACHE_PREAMBLE + code
     try:
         p = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, timeout=timeout)

@@ -36,6 +36,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+import os as _os
+jax.config.update("jax_compilation_cache_dir",
+                  _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/lam_slide_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 T, L, D, H = 1000, 2, 384, 16
 DH = D // H
 MLP = 2 * D  # mlp_ratio 2

@@ -41,6 +41,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache so full-size shapes recompiled after a
+    # tunnel wedge come back from disk (see bench._enable_compile_cache).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/lam_slide_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     if not step("trivial jit", lambda: float(
             jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128))))):
         sys.exit(1)
