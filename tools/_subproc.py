@@ -57,5 +57,15 @@ def run_worker(name, code, env_pins, timeout, parse, timeout_note=""):
     for line in p.stdout.splitlines():
         if line.startswith("RESULT"):
             return {"mode": name, "status": "ok", **parse(line.split()[1:])}
+    # Preserve the full stderr — the one-line status strips the traceback
+    # that a Mosaic lowering failure needs for diagnosis.
+    errpath = f"/tmp/onchip/arm_{name}.stderr"
+    try:
+        os.makedirs("/tmp/onchip", exist_ok=True)
+        with open(errpath, "w") as f:
+            f.write(p.stderr)
+    except OSError:
+        errpath = "?"
     tail = (p.stderr.strip().splitlines() or ["?"])[-1][:200]
-    return {"mode": name, "status": f"failed rc={p.returncode}: {tail}"}
+    return {"mode": name, "status": f"failed rc={p.returncode}: {tail}",
+            "stderr": errpath}
