@@ -87,10 +87,19 @@ def _nr_flash_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, cq_ref, sq_ref,
     pair = pair_ref[...]
 
     q = _kernel_normrope(q_ref[0], qs_ref[...], cq_ref[...], sq_ref[...], pair)
-    k_t = _kernel_normrope(k_ref[0], ks_ref[...], ck_ref[...], sk_ref[...], pair)
+
+    def k_block(kb):
+        # Transform per k-block from the refs: Mosaic has no dynamic_slice
+        # lowering for VALUES, so slicing a full-panel transformed k_t does
+        # not compile on TC — ref reads with pl.ds do. Total transform work
+        # is identical (the blocks partition the panel).
+        kraw = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        cb = ck_ref[pl.ds(kb * block_k, block_k), :]
+        sb = sk_ref[pl.ds(kb * block_k, block_k), :]
+        return _kernel_normrope(kraw, ks_ref[...], cb, sb, pair)
 
     def logits(kb, masked):
-        k = jax.lax.dynamic_slice_in_dim(k_t, kb * block_k, block_k, axis=0)
+        k = k_block(kb)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -254,12 +263,15 @@ def _nr_bwd_kv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     dtype = v_ref.dtype
     pair = pair_ref[...]
     k_t = _kernel_normrope(k_ref[0], ks_ref[...], ck_ref[...], sk_ref[...], pair)
-    q_t_full = _kernel_normrope(q_ref[0], qs_ref[...], cq_ref[...], sq_ref[...], pair)
     v = v_ref[0]
 
     def body(qb, carry):
         dk, dv = carry
-        q_t = jax.lax.dynamic_slice_in_dim(q_t_full, qb * block_q, block_q, axis=0)
+        # Per-block transform from refs (no value dynamic_slice on TC).
+        q_raw = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        cb = cq_ref[pl.ds(qb * block_q, block_q), :]
+        sb = sq_ref[pl.ds(qb * block_q, block_q), :]
+        q_t = _kernel_normrope(q_raw, qs_ref[...], cb, sb, pair)
         do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q), :]
         delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q), :]
@@ -294,13 +306,16 @@ def _nr_bwd_q_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     dtype = v_ref.dtype
     pair = pair_ref[...]
     q_t = _kernel_normrope(q_ref[0], qs_ref[...], cq_ref[...], sq_ref[...], pair)
-    k_t_full = _kernel_normrope(k_ref[0], ks_ref[...], ck_ref[...], sk_ref[...], pair)
     do = do_ref[0]
     lse = lse_ref[0]
     delta = delta_ref[0]
 
     def step(kb, dq, masked):
-        k_t = jax.lax.dynamic_slice_in_dim(k_t_full, kb * block_k, block_k, axis=0)
+        # Per-block transform from refs (no value dynamic_slice on TC).
+        k_raw = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        cb = ck_ref[pl.ds(kb * block_k, block_k), :]
+        sb = sk_ref[pl.ds(kb * block_k, block_k), :]
+        k_t = _kernel_normrope(k_raw, ks_ref[...], cb, sb, pair)
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         p = _nr_bwd_probs(q_t, k_t, lse, kb, block_k, seq_len, scale, masked)
         dp = jax.lax.dot_general(
