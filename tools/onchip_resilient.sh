@@ -78,8 +78,10 @@ run_step() { # name timeout cmd...
 one_pass() {
   run_step bench_fast 900 env LAM_SLIDE_BENCH_SWEEP=8 \
     LAM_SLIDE_BENCH_WORKER_TIMEOUT=600 python bench.py
-  run_step headmajor_ab 2700 python tools/measure_fused_ab.py \
-    --arms unfused,headmajor,kernel_normrope
+  # headmajor measured 0.888x (twice) — closed; normrope's Mosaic lowering
+  # was fixed after its failed arm (51fd5ce), so it gets a fresh A/B step.
+  run_step normrope_ab 2700 python tools/measure_fused_ab.py \
+    --arms unfused,kernel_normrope
   run_step bench 3000 python bench.py
   run_step revalidate 2400 python tools/revalidate_tpu.py --full
   run_step fused_ab 4800 python tools/measure_fused_ab.py \
