@@ -60,14 +60,11 @@ def _heavy_atom_indices(top_path: str):
 
 def _load_xyz(traj_path: str, top_path: str) -> np.ndarray:
     """-> [T, n_atoms_all, 3] float32 (nm for xtc/dcd, as-stored else)."""
-    ext = os.path.splitext(traj_path)[1].lower()
-    if ext == ".xtc":
-        try:  # native codec (lam_slide_tpu/native/xtc.cc) — no mdtraj needed
-            from lam_slide_tpu.data.xtc import read_xtc
+    from lam_slide_tpu.data.trajio import load_traj
 
-            return read_xtc(traj_path)[0]
-        except RuntimeError:
-            pass  # no host compiler: fall through to mdtraj
+    try:
+        return load_traj(traj_path)
+    except RuntimeError:  # xtc native codec needs a host compiler
         try:
             import mdtraj as md
         except ImportError as e:
@@ -76,33 +73,8 @@ def _load_xyz(traj_path: str, top_path: str) -> np.ndarray:
                 "neither is available — convert to multi-model pdb/npz"
             ) from e
         return md.load(traj_path, top=top_path).xyz.astype(np.float32)
-    if ext == ".dcd":  # CHARMM/NAMD binary (traj_utils.py:29 via mdtraj)
-        from lam_slide_tpu.data.dcd import read_dcd
-
-        return read_dcd(traj_path)[0]
-    if ext in (".npz", ".npy"):
-        data = np.load(traj_path)
-        if hasattr(data, "files"):
-            for k in ("positions", "xyz", "arr_0"):
-                if k in data.files:
-                    return np.asarray(data[k], np.float32)
-            raise SystemExit(f"{traj_path}: no positions/xyz/arr_0 key")
-        return np.asarray(data, np.float32)
-    if ext == ".pdb":  # multi-model trajectory
-        frames, cur = [], []
-        with open(traj_path) as f:
-            for line in f:
-                if line.startswith("ENDMDL"):
-                    if cur:
-                        frames.append(cur)
-                        cur = []
-                elif line.startswith(("ATOM", "HETATM")):
-                    cur.append([float(line[30:38]), float(line[38:46]),
-                                float(line[46:54])])
-        if cur:
-            frames.append(cur)
-        return np.asarray(frames, np.float32)
-    raise SystemExit(f"unsupported trajectory format: {traj_path}")
+    except ValueError as e:
+        raise SystemExit(str(e)) from e
 
 
 def _write_state0_pdb(out_path: str, top_path: str, xyz0: np.ndarray,
@@ -128,7 +100,7 @@ def process_one(args_tuple):
     base = os.path.join(sim_dir, name, name)
     top_path = base + ".pdb"
     traj_path = next(
-        (base + ext for ext in (".xtc", ".npz", ".npy")
+        (base + ext for ext in (".xtc", ".dcd", ".npz", ".npy")
          if os.path.exists(base + ext)),
         top_path,  # multi-model pdb doubles as its own topology
     )
