@@ -25,7 +25,9 @@ note() { echo "$(date -u +%H:%M:%S) $*" >> "$WATCH"; }
 # retried in a LATER heal window skips straight to execution, so even
 # sub-4-minute windows land numbers. Safe if the plugin declines to
 # serialize (cache writes just warn).
-export JAX_COMPILATION_CACHE_DIR=/tmp/onchip/jax_cache
+# Same default dir as bench.py so the driver's round-end bench reuses
+# every compile the queue already paid for.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/lam_slide_jax_cache}
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 probe() {
