@@ -77,11 +77,13 @@ _FLOPS_PER_EVAL = 2 * 7 * (
 A100_ANCHOR = 312e12 * 0.05 / _FLOPS_PER_EVAL  # traj-steps/s
 
 
-def build_solver(batch: int) -> dict:
+def build_solver(batch: int, method: str = "euler") -> dict:
     """The exact program the headline measures: full-size 4AA denoiser +
     Euler-10 probability-flow solve at the given batch. Shared with
     tools/capture_trace.py so the op-level trace profiles the same program
-    the benchmark times."""
+    the benchmark times. ``method="dopri5"`` builds the eval-protocol
+    adaptive solver instead (atol 1e-6 / rtol 1e-3,
+    configs/eval_peptide.yaml:23); its solve returns (x, n_iters)."""
     import jax
     import jax.numpy as jnp
 
@@ -99,8 +101,12 @@ def build_solver(batch: int) -> dict:
     )()
 
     transport = create_transport(path_type="GVP", prediction="data")
-    sample_fn = Sampler(transport).sample_ode(sampling_method="euler",
-                                              num_steps=NUM_STEPS)
+    if method == "dopri5":
+        sample_fn = Sampler(transport).sample_ode(
+            sampling_method="dopri5", atol=1e-6, rtol=1e-3, return_stats=True)
+    else:
+        sample_fn = Sampler(transport).sample_ode(sampling_method="euler",
+                                                  num_steps=NUM_STEPS)
 
     def model_fn(xt, t, **kw):
         return model.apply(variables, xt, t, **kw)
@@ -152,7 +158,53 @@ def measure(batch: int) -> float:
     return batch * NUM_STEPS / dt
 
 
-def _result_json(sweep, errors, partial_after=None) -> str:
+def measure_dopri5(batch: int = 8) -> dict:
+    """Protocol-sampler arm: the dopri5 atol 1e-6 / rtol 1e-3 solve the 4AA
+    eval actually uses (configs/eval_peptide.yaml:23), at the protocol batch.
+    Reports drift-evals/s (comparable to the Euler headline: both count DiT
+    drift evaluations) and the adaptive solver's NFE. The NFE is an
+    at-init NFE — a trained drift may differ — but drift-evals/s is
+    NFE-invariant: it measures the bounded-while_loop path's per-eval cost
+    next to the scan-Euler path's."""
+    _enable_compile_cache()
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    setup = build_solver(batch, method="dopri5")
+    solve, noise = setup["solve"], setup["noise"]
+
+    @functools.partial(jax.jit, static_argnames="n_solves")
+    def run(noise, n_solves):
+        def body(c, _):
+            out, n_iters = solve(c)
+            return c + 1e-6 * out, (jnp.sum(out), n_iters)
+        _, (sums, iters) = jax.lax.scan(body, noise, None, length=n_solves)
+        return jnp.sum(sums), jnp.max(iters)
+
+    n_iters = None
+    for n in (1, 4):
+        _, it = run(noise, n)
+        n_iters = int(it)
+
+    def best_time(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            s, _ = run(noise, n)
+            float(s)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (best_time(4) - best_time(1)) / 3
+    nfe = 1 + 6 * n_iters  # FSAL
+    return {"batch": batch, "nfe": nfe,
+            "drift_evals_per_sec": round(batch * nfe / dt, 2),
+            "solve_ms": round(dt * 1e3, 2)}
+
+
+def _result_json(sweep, errors, partial_after=None, dopri5=None) -> str:
     best_b = max(sweep, key=sweep.get)
     value = sweep[best_b]
     out = {
@@ -162,6 +214,8 @@ def _result_json(sweep, errors, partial_after=None) -> str:
         "batch": best_b,
         "sweep": {str(b): round(v, 2) for b, v in sweep.items()},
     }
+    if dopri5 is not None:
+        out["dopri5"] = dopri5  # the eval protocol's adaptive sampler arm
     if errors:
         out["sweep_errors"] = {str(b): e for b, e in errors.items()}
     if partial_after is not None:
@@ -192,6 +246,17 @@ def worker() -> None:
         print(json.dumps({**METRIC, "value": None, "vs_baseline": None,
                           "error": "bench_failed",
                           "detail": "; ".join(f"B={b}: {e}" for b, e in errors.items())[:300]}))
+        return
+    # eval-protocol arm: the dopri5 sampler the 4AA protocol actually runs
+    # (skippable for opportunistic short-window runs)
+    if os.environ.get("LAM_SLIDE_BENCH_NO_DOPRI5") != "1":
+        try:
+            d5 = measure_dopri5()
+            print(f"# dopri5: {d5}", file=sys.stderr, flush=True)
+            print(_result_json(sweep, errors, dopri5=d5), flush=True)
+        except Exception as e:
+            print(f"# dopri5 arm FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
 
 def _probe_tunnel(timeout_s: float) -> tuple[bool, str]:

@@ -26,8 +26,10 @@ def main(argv=None):
     p.add_argument("--data-root", default=None, help="4AA data dir (test split)")
     p.add_argument("--num-rollouts", type=int, default=10)
     p.add_argument("--pdb-ids", nargs="*", default=None)
-    p.add_argument("--sampling-method", default="euler", choices=["euler", "heun", "dopri5"],
-                   help="reference eval protocol: dopri5 (configs/eval_peptide.yaml); "
+    p.add_argument("--sampling-method", default="dopri5",
+                   choices=["euler", "heun", "dopri5"],
+                   help="default dopri5 atol 1e-6 / rtol 1e-3 — the reference "
+                        "eval protocol (configs/eval_peptide.yaml:23); "
                         "euler/10 is the training-time val sampler")
     p.add_argument("--num-steps", type=int, default=10)
     p.add_argument("--atol", type=float, default=1e-6)
@@ -65,6 +67,15 @@ def main(argv=None):
     raw = load_checkpoint_raw(info["run_dir"], "best")
     params = raw.get("ema_params") or raw["params"]
     fs_vars = raw["constants"]["first_stage"]
+    # fp32 sampling of the bf16-trained model (configs/eval_peptide.yaml:19-25):
+    # the model below is built at its default fp32 compute dtype; cast any
+    # bf16-stored leaves up so the whole pipeline runs 32-true.
+    import jax.numpy as jnp
+
+    to_f32 = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+    params, fs_vars = to_f32(params), to_f32(fs_vars)
 
     fs_cfg_src = {}
     if meta.get("first_stage_run"):

@@ -46,6 +46,15 @@ def _synthetic_game(scene: str, idx: int, n_frames: int = 64):
     }
 
 
+def _holdout_is_test(name: str) -> bool:
+    """Deterministic game-level holdout for single-directory layouts:
+    ~20% of games by filename hash. Guarantees train/test disjointness
+    when the data was not preprocessed into split subdirectories."""
+    import zlib
+
+    return zlib.crc32(name.encode()) % 5 == 0
+
+
 def load_nba_games(
     root: Optional[str],
     scene: str,
@@ -54,14 +63,38 @@ def load_nba_games(
     scale,
     max_files: Optional[int] = None,
     synthetic_games: int = 8,
+    split: str = "train",
 ) -> List[Dict[str, np.ndarray]]:
+    """Load one split of per-game npz files.
+
+    Directory resolution (reference keeps separate SocialVAE train/test
+    directories — NBADatamodule._create_dataloader passes
+    ``data_dir/<scene>/<mode>``, nba.py:199-205):
+
+    * ``root/<split>`` exists → that directory IS the split.
+    * ``root`` is a flat game directory → deterministic filename-hash
+      holdout (~20% test) so train and test game sets stay disjoint.
+    * no files → synthetic games, with split-offset seeds (train draws
+      game indices [0, n), test [100000, 100000 + n)) — disjoint by
+      construction.
+    """
+    assert split in ("train", "test")
     games = []
-    if root is not None and os.path.isdir(root):
-        files = sorted(os.listdir(root))
+    game_dir = None
+    if root is not None:
+        sub = os.path.join(root, split)
+        if os.path.isdir(sub):
+            game_dir = sub
+            keep = lambda name: True
+        elif os.path.isdir(root):
+            game_dir = root
+            keep = lambda name: _holdout_is_test(name) == (split == "test")
+    if game_dir is not None:
+        files = [f for f in sorted(os.listdir(game_dir)) if keep(f)]
         if max_files:
             files = files[:max_files]
         for name in files:
-            data = dict(np.load(os.path.join(root, name)))
+            data = dict(np.load(os.path.join(game_dir, name)))
             if data["pos"].shape[0] < num_frames:
                 continue  # nba.py:84-86
             games.append(
@@ -73,8 +106,9 @@ def load_nba_games(
                 }
             )
     if not games:
+        offset = 0 if split == "train" else 100_000
         for i in range(synthetic_games):
-            g = _synthetic_game(scene, i)
+            g = _synthetic_game(scene, offset + i)
             g["pos"] = ((g["pos"] - shift) / scale).astype(np.float32)
             games.append(g)
     return games
@@ -94,11 +128,13 @@ class NBADataset(Dataset):
     num_entities: int = 11
     max_files: Optional[int] = None
     synthetic_games: int = 8
+    split: str = "train"
 
     def __post_init__(self):
         self.games = load_nba_games(
             self.root, self.scene, self.num_frames, np.asarray(self.shift),
             np.asarray(self.scale), self.max_files, self.synthetic_games,
+            split=self.split,
         )
         valid = [0] + [g["pos"].shape[0] - self.num_frames + 1 for g in self.games]
         self.cumulative_sizes = list(accumulate(valid))

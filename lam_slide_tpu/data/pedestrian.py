@@ -61,7 +61,10 @@ def load_pedestrian_split(
             data = np.load(dpath).astype(np.float32) / traj_scale
             counts = np.load(npath).astype(np.int64)
             return data, counts
-    data, counts = _synthetic_scenes(scene, synthetic_scenes, n_frames, n_max)
+    # phase-keyed seed: synthetic train and test scenes are disjoint, like
+    # the real EqMotion-preprocessed *_data_{train,test}.npy pairs
+    data, counts = _synthetic_scenes(scene, synthetic_scenes, n_frames, n_max,
+                                     seed=0 if phase == "train" else 1)
     return data / traj_scale, counts
 
 

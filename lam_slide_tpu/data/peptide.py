@@ -155,6 +155,10 @@ class PeptideDataset(Dataset):
     max_files: Optional[int] = None
     synthetic_peptides: int = 4
     synthetic_frames: int = 400
+    # Seeds the synthetic fallback's peptide names: distinct prefixes give
+    # provably disjoint synthetic train/val/test sets (the real split is the
+    # data_dir itself, mirroring the reference's mdgen split csvs).
+    synthetic_prefix: str = "synth"
 
     def __post_init__(self):
         self.trajectories = []
@@ -179,8 +183,9 @@ class PeptideDataset(Dataset):
                 self.trajectories.append(self._precompute(aa, atom14, aatype))
         else:
             for i in range(self.synthetic_peptides):
-                atom14, aatype = _synthetic_trajectory(f"synth{i}", n_frames=self.synthetic_frames)
-                self.trajectories.append(self._precompute(f"synth{i}", atom14, aatype))
+                name = f"{self.synthetic_prefix}{i}"
+                atom14, aatype = _synthetic_trajectory(name, n_frames=self.synthetic_frames)
+                self.trajectories.append(self._precompute(name, atom14, aatype))
         if not self.trajectories:
             raise ValueError("no peptide trajectories found")
 

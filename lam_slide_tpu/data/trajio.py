@@ -8,12 +8,17 @@ through mdtraj. Here each format is decoded natively:
     .dcd  pure-numpy CHARMM/NAMD codec (data/dcd.py)
     .npz  positions under "positions"/"xyz"/"arr_0"
     .npy  raw array; a leading batch axis of a [B, T, N, 3] array is
-          squeezed to [T, N, 3] like the reference (traj_utils.py:35-37)
+          squeezed to [T, N, 3] like the reference (traj_utils.py:35-37);
+          a 4-D *.npz* is an error (the reference squeezes .npy only — a
+          batched npz would silently drop trajectories 1..B-1)
     .pdb  multi-model ATOM/HETATM records
 
-Coordinates come back as stored: nm for xtc/dcd (the dcd codec converts
-from Angstrom to match mdtraj), Angstrom for pdb, as-saved for npz/npy —
-the same contract the mdtraj-backed reference exposes.
+Units: nm for xtc/dcd (the dcd codec converts from Angstrom to match
+mdtraj), as-saved for npz/npy. **pdb returns Angstrom as stored in the
+file — a deliberate divergence from the mdtraj-backed reference, whose
+load_traj converts pdb to nm on load.** Callers mixing pdb with xtc/dcd
+inputs (e.g. tools/process_4aa.py) must reconcile units themselves; pass
+``pdb_unit="nm"`` to get the reference's nm contract instead.
 """
 
 import io
@@ -55,9 +60,11 @@ def read_pdb_frames(source) -> np.ndarray:
     return np.asarray(frames, np.float32)
 
 
-def load_traj(path: str) -> np.ndarray:
+def load_traj(path: str, pdb_unit: str = "angstrom") -> np.ndarray:
     """Load any supported trajectory format -> [T, n_atoms, 3] float32.
 
+    ``pdb_unit``: "angstrom" (default; coordinates as stored in the PDB)
+    or "nm" (divide by 10 — the reference's mdtraj contract).
     Raises ValueError for an unsupported extension or a file whose
     contents don't yield a coordinate array.
     """
@@ -65,12 +72,12 @@ def load_traj(path: str) -> np.ndarray:
     if ext == ".xtc":
         from lam_slide_tpu.data.xtc import read_xtc
 
-        return np.asarray(read_xtc(path)[0], np.float32)
-    if ext == ".dcd":
+        arr = np.asarray(read_xtc(path)[0], np.float32)
+    elif ext == ".dcd":
         from lam_slide_tpu.data.dcd import read_dcd
 
-        return np.asarray(read_dcd(path)[0], np.float32)
-    if ext in (".npz", ".npy"):
+        arr = np.asarray(read_dcd(path)[0], np.float32)
+    elif ext in (".npz", ".npy"):
         data = np.load(path)
         if hasattr(data, "files"):  # npz archive
             for k in ("positions", "xyz", "arr_0"):
@@ -79,13 +86,25 @@ def load_traj(path: str) -> np.ndarray:
                     break
             else:
                 raise ValueError(f"{path}: no positions/xyz/arr_0 key")
+            if arr.ndim == 4:
+                # the reference squeezes .npy only (traj_utils.py:34-37);
+                # silently returning arr[0] would drop trajectories 1..B-1
+                raise ValueError(
+                    f"{path}: batched [B, T, N, 3] npz is ambiguous — save "
+                    "one trajectory per key/file, or use .npy for the "
+                    "reference's first-trajectory squeeze")
         else:
             arr = np.asarray(data, np.float32)
-        if arr.ndim == 4:  # [B, T, N, 3] -> first trajectory
-            arr = arr[0]
-        if arr.ndim != 3 or arr.shape[-1] != 3:
-            raise ValueError(f"{path}: expected [T, N, 3], got {arr.shape}")
-        return arr
-    if ext == ".pdb":
-        return read_pdb_frames(path)
-    raise ValueError(f"unsupported trajectory format: {path}")
+            if arr.ndim == 4:  # [B, T, N, 3] -> first trajectory (npy only)
+                arr = arr[0]
+    elif ext == ".pdb":
+        arr = read_pdb_frames(path)
+        if pdb_unit == "nm":
+            arr = arr / np.float32(10.0)
+        elif pdb_unit != "angstrom":
+            raise ValueError(f"pdb_unit must be 'angstrom' or 'nm', got {pdb_unit!r}")
+    else:
+        raise ValueError(f"unsupported trajectory format: {path}")
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        raise ValueError(f"{path}: expected [T, N, 3], got {arr.shape}")
+    return arr

@@ -45,6 +45,12 @@ class ExperimentRun:
     meta: Dict[str, Any] = field(default_factory=dict)
     sample_batch: Any = None
     eval_fns: Dict[str, Callable] = field(default_factory=dict)
+    # --test protocol surface (reference src/train.py:100-118): the held-out
+    # test split and an fp32 rebuild of the stage-2 model — the reference
+    # re-instantiates its trainer with precision="32-true" for the test pass
+    # after bf16-mixed training. None → fall back to val_loaders / model.
+    test_loaders: Optional[Dict[str, Loader]] = None
+    test_model: Any = None
 
 
 def _concat_loaders_batch(loader):
@@ -88,7 +94,8 @@ def load_first_stage_variables(workspace: str, run_id: str, which: str = "best")
 # ---------------------------------------------------------------------------
 
 
-def _md17_datasets(smoke, data_root, first_stage, molecules, num_entities, span, scales):
+def _md17_datasets(smoke, data_root, first_stage, molecules, num_entities, span, scales,
+                   with_test=False):
     from lam_slide_tpu.data.md17 import MD17Dataset
 
     kw = dict(
@@ -105,7 +112,16 @@ def _md17_datasets(smoke, data_root, first_stage, molecules, num_entities, span,
                        force_length=16 if smoke else 256, **kw)
         for m in molecules
     }
-    return train_sets, val_sets
+    if not with_test:
+        return train_sets, val_sets
+    # held-out chronological test split, 1000 eval samples per molecule
+    # (geo_tdm/md17.py:120-154) — the --test protocol's data
+    test_sets = {
+        m: MD17Dataset(molecule=m, mode="test", scale=scales[m], rand_rotation=False,
+                       force_length=16 if smoke else None, **kw)
+        for m in molecules
+    }
+    return train_sets, val_sets, test_sets
 
 
 class _ConcatDataset:
@@ -162,7 +178,7 @@ def md17_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
 
 
 def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
-                      molecule="all", first_stage_run=None, **_):
+                      molecule="all", first_stage_run=None, dit_dtype=None, **_):
     from lam_slide_tpu.composites.md17 import (
         MD17FirstStageConfig, MD17SecondStageConfig, build_md17_first_stage,
         build_md17_second_stage,
@@ -189,8 +205,9 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         raise ValueError("md17_second_stage requires first_stage_run (see run registry)")
 
     fs_model = build_md17_first_stage(fs_cfg)
-    train_sets, val_sets = _md17_datasets(
-        smoke, data_root, False, molecules, fs_cfg.num_entities, 30, MD17_SCALES
+    train_sets, val_sets, test_sets = _md17_datasets(
+        smoke, data_root, False, molecules, fs_cfg.num_entities, 30, MD17_SCALES,
+        with_test=True,
     )
     bs = 4 if smoke else 64
     collate = functools.partial(pad_collate_temporal, num_entities=fs_cfg.num_entities)
@@ -198,6 +215,10 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     val_loaders = {
         m: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
         for m, ds in val_sets.items()
+    }
+    test_loaders = {
+        m: Loader(ds, bs, collate, shuffle=False, seed=seed, drop_last=False)
+        for m, ds in test_sets.items()
     }
     batch = _concat_loaders_batch(train_loader)
     if fs_vars is None:
@@ -211,8 +232,12 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         else MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
                                    num_heads=4, class_conditional=True, vec_in_dim=32)
     )
-    dit_dtype = jnp.float32 if smoke else jnp.bfloat16  # bf16-mixed stage-2
+    # bf16-mixed stage-2 by default; dit_dtype overrides (sweeps / tests)
+    dit_dtype = (jnp.dtype(dit_dtype) if dit_dtype is not None
+                 else (jnp.float32 if smoke else jnp.bfloat16))
     ss = build_md17_second_stage(cfg2, fs_model, fs_vars, dtype=dit_dtype)
+    # fp32 rebuild for the --test pass (src/train.py:106-118 precision="32-true")
+    ss_test = build_md17_second_stage(cfg2, fs_model, fs_vars, dtype=jnp.float32)
     x1, mk = ss.prepare_batch(fs_vars, batch)
     params = ss.backbone.init(
         jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
@@ -238,6 +263,7 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         name="md17_second_stage", trainer_cfg=trainer_cfg, variables=variables,
         loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders,
         model=ss, sample_batch=batch, eval_fns={"val_sample": hook},
+        test_loaders=test_loaders, test_model=ss_test,
         meta={"config": cfg2.__dict__, "stage": 2, "domain": "md17",
               "first_stage_run": first_stage_run},
     )
@@ -287,7 +313,7 @@ def pedestrian_first_stage(smoke=False, data_root=None, workspace="runs", seed=0
 
 
 def pedestrian_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
-                            first_stage_run=None, **_):
+                            first_stage_run=None, dit_dtype=None, **_):
     from lam_slide_tpu.composites.pedestrian import (
         PedestrianFirstStageConfig, PedestrianSecondStageConfig,
         build_pedestrian_first_stage, build_pedestrian_second_stage,
@@ -330,8 +356,12 @@ def pedestrian_second_stage(smoke=False, data_root=None, workspace="runs", seed=
             if not smoke else
             PedestrianSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1, hidden_size=16,
                                         num_heads=2, class_conditional=True, vec_in_dim=16))
-    dit_dtype = jnp.float32 if smoke else jnp.bfloat16  # bf16-mixed stage-2
+    # bf16-mixed stage-2 by default; dit_dtype overrides (sweeps / tests)
+    dit_dtype = (jnp.dtype(dit_dtype) if dit_dtype is not None
+                 else (jnp.float32 if smoke else jnp.bfloat16))
     ss = build_pedestrian_second_stage(cfg2, fs_model, fs_vars, dtype=dit_dtype)
+    # fp32 rebuild for the --test pass (src/train.py:106-118 precision="32-true")
+    ss_test = build_pedestrian_second_stage(cfg2, fs_model, fs_vars, dtype=jnp.float32)
     x1, mk = ss.prepare_batch(fs_vars, batch)
     params = ss.backbone.init(
         jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
@@ -354,6 +384,9 @@ def pedestrian_second_stage(smoke=False, data_root=None, workspace="runs", seed=
         name="pedestrian_second_stage", trainer_cfg=trainer_cfg, variables=variables,
         loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders, model=ss,
         sample_batch=batch, eval_fns={"val_sample": hook},
+        # the reference's pedestrian val IS the test split (its datamodule has
+        # no held-out val; pedestrian.py:198-204) — test reuses the same loaders
+        test_loaders=val_loaders, test_model=ss_test,
         meta={"config": cfg2.__dict__, "stage": 2, "domain": "pedestrian",
               "first_stage_run": first_stage_run},
     )
@@ -378,10 +411,15 @@ def nba_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         dim_input=32, dim_latent=8, dim_entity=32, num_latents=4, dim_head_cross=8,
         dim_head_latent=8, scale=NBA_SCALE[scene])
     model = build_nba_first_stage(cfg)
-    kw = dict(root=data_root, num_entities=cfg.num_entities, shift=NBA_SHIFT[scene],
+    # root points at the scene's processed directory with train/test subdirs
+    # (the reference's data_dir/<scene>/<mode> SocialVAE layout); val uses
+    # the TEST split (the reference's documented test-as-val comparability
+    # quirk, nba.py:233-240) — disjoint from train by construction.
+    root = None if data_root is None else os.path.join(data_root, scene)
+    kw = dict(root=root, num_entities=cfg.num_entities, shift=NBA_SHIFT[scene],
               scale=NBA_SCALE[scene], synthetic_games=16 if smoke else 64)
-    train = NBADataset(scene=scene, flip=True, rand_rotation=True, **kw)
-    val = NBADataset(scene=scene, **kw)
+    train = NBADataset(scene=scene, flip=True, rand_rotation=True, split="train", **kw)
+    val = NBADataset(scene=scene, split="test", **kw)
     bs = 8 if smoke else 1024
     collate = functools.partial(pad_collate, num_entities=cfg.num_entities)
     train_loader = Loader(train, bs, collate, seed=seed, drop_last=False)
@@ -401,7 +439,7 @@ def nba_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
 
 def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                      batch_size=None,
-                     scene="score", first_stage_run=None, **_):
+                     scene="score", first_stage_run=None, dit_dtype=None, **_):
     from lam_slide_tpu.composites.nba import (
         NBAFirstStageConfig, NBASecondStageConfig, build_nba_first_stage,
         build_nba_second_stage,
@@ -422,11 +460,13 @@ def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         raise ValueError("nba_second_stage requires first_stage_run")
     fs_model = build_nba_first_stage(fs_cfg)
 
-    kw = dict(root=data_root, num_entities=fs_cfg.num_entities, first_stage=False,
+    # val/test use the TEST split (reference test-as-val quirk, nba.py:233-240)
+    root = None if data_root is None else os.path.join(data_root, scene)
+    kw = dict(root=root, num_entities=fs_cfg.num_entities, first_stage=False,
               shift=NBA_SHIFT[scene], scale=NBA_SCALE[scene],
               synthetic_games=4 if smoke else 64)
-    train = NBADataset(scene=scene, flip=True, rand_rotation=True, **kw)
-    val = NBADataset(scene=scene, **kw)
+    train = NBADataset(scene=scene, flip=True, rand_rotation=True, split="train", **kw)
+    val = NBADataset(scene=scene, split="test", **kw)
     bs = batch_size or (4 if smoke else 1024)
     collate = functools.partial(pad_collate_temporal, num_entities=fs_cfg.num_entities)
     train_loader = Loader(train, bs, collate, seed=seed)
@@ -441,8 +481,12 @@ def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
             if not smoke else
             NBASecondStageConfig(in_dim=fs_cfg.dim_latent, depth=1, hidden_size=16,
                                  num_heads=2, class_conditional=True, vec_in_dim=16))
-    dit_dtype = jnp.float32 if smoke else jnp.bfloat16  # bf16-mixed stage-2
+    # bf16-mixed stage-2 by default; dit_dtype overrides (sweeps / tests)
+    dit_dtype = (jnp.dtype(dit_dtype) if dit_dtype is not None
+                 else (jnp.float32 if smoke else jnp.bfloat16))
     ss = build_nba_second_stage(cfg2, fs_model, fs_vars, dtype=dit_dtype)
+    # fp32 rebuild for the --test pass (src/train.py:106-118 precision="32-true")
+    ss_test = build_nba_second_stage(cfg2, fs_model, fs_vars, dtype=jnp.float32)
     x1, mk = ss.prepare_batch(fs_vars, batch)
     params = ss.backbone.init(
         jax.random.PRNGKey(seed + 1), x1, jnp.zeros((x1.shape[0],)),
@@ -465,6 +509,8 @@ def nba_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         name="nba_second_stage", trainer_cfg=trainer_cfg, variables=variables,
         loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders, model=ss,
         sample_batch=batch, eval_fns={"val_sample": hook},
+        # NBA val already reads the test split (test-as-val quirk) → reuse
+        test_loaders=val_loaders, test_model=ss_test,
         meta={"config": cfg2.__dict__, "stage": 2, "domain": "nba", "scene": scene,
               "first_stage_run": first_stage_run},
     )
@@ -497,7 +543,7 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0, *
     train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
                            first_stage=True, rand_rotation=True, **kw)
     val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val",
-                         first_stage=True, **kw)
+                         first_stage=True, synthetic_prefix="valsynth", **kw)
     bs = 4 if smoke else 512
     train_loader = Loader(train, bs, _pep_collate, seed=seed, drop_last=False)
     val_loaders = {"val": Loader(val, bs, _pep_collate, shuffle=False, seed=seed,
@@ -516,7 +562,7 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0, *
 
 
 def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
-                         first_stage_run=None, **_):
+                         first_stage_run=None, dit_dtype=None, **_):
     from lam_slide_tpu.composites.peptide import (
         PeptideFirstStageConfig, PeptideSecondStageConfig, build_peptide_first_stage,
         build_peptide_second_stage, make_peptide_second_stage_loss,
@@ -543,7 +589,8 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
               synthetic_frames=60 if smoke else 2000)
     train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
                            rand_rotation=True, **kw)
-    val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val", **kw)
+    val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val",
+                         synthetic_prefix="valsynth", **kw)
     bs = 2 if smoke else 16
     train_loader = Loader(train, bs, _pep_collate, seed=seed, drop_last=False)
     val_loaders = {"val": Loader(val, bs, _pep_collate, shuffle=False, seed=seed,
@@ -558,8 +605,13 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
             if not smoke else
             PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
                                      num_heads=4, num_timesteps=n_t))
-    dit_dtype = jnp.float32 if smoke else jnp.bfloat16  # bf16-mixed stage-2
+    # bf16-mixed stage-2 by default; dit_dtype overrides (sweeps / tests)
+    dit_dtype = (jnp.dtype(dit_dtype) if dit_dtype is not None
+                 else (jnp.float32 if smoke else jnp.bfloat16))
     ss = build_peptide_second_stage(cfg2, fs_model, fs_vars, dtype=dit_dtype)
+    # fp32 rebuild: the 4AA protocol is "fp32 sampling of the bf16-trained
+    # model" (configs/eval_peptide.yaml:19-25) — eval_cli resolves this model
+    ss_test = build_peptide_second_stage(cfg2, fs_model, fs_vars, dtype=jnp.float32)
     x1, mk = ss.prepare_batch(fs_vars, batch)
     params = ss.backbone.init(jax.random.PRNGKey(seed + 1), x1,
                               jnp.zeros((x1.shape[0],)), mk["x_cond"],
@@ -570,10 +622,14 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     trainer_cfg = TrainerConfig(max_epochs=2 if smoke else 1500, lr=1e-3,
                                 monitor="si_loss", grad_clip=0.5,
                                 val_every_n_epochs=1 if smoke else 10, seed=seed)
+    test = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/test",
+                          synthetic_prefix="testsynth", **kw)
+    test_loaders = {"test": Loader(test, bs, _pep_collate, shuffle=False, seed=seed,
+                                   drop_last=False)}
     return ExperimentRun(
         name="peptide_second_stage", trainer_cfg=trainer_cfg, variables=variables,
         loss_fn=loss_fn, train_loader=train_loader, val_loaders=val_loaders, model=ss,
-        sample_batch=batch,
+        sample_batch=batch, test_loaders=test_loaders, test_model=ss_test,
         meta={"config": cfg2.__dict__, "stage": 2, "domain": "peptide",
               "first_stage_run": first_stage_run},
     )

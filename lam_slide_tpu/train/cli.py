@@ -228,8 +228,9 @@ def main(argv=None):
     state = trainer.fit(exp.variables, exp.train_loader, exp.val_loaders, resume=args.resume)
 
     if args.test:
-        # Reference semantics: test on EMA weights, single program, fp32
-        # sampling (src/train.py:100-118). K/num_runs per domain protocol.
+        # Reference semantics: test on EMA weights, single program
+        # (src/train.py:100-118). The fp32 rebuild + held-out split live in
+        # _run_test_protocol. K/num_runs per domain protocol.
         params = state.ema_params if state.ema_params is not None else state.params
         fs_vars = (state.constants or {}).get("first_stage")
         _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir, molecule)
@@ -241,14 +242,30 @@ def main(argv=None):
 def _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir, molecule):
     """Domain test protocol on restored/trained weights (stage 2 only):
     mean-K ADE/FDE for md17 (second_stage/md17.py:139-171), per-entity
-    min-K [+FPC] for pedestrian/nba (second_stage/pedestrian.py:149-239)."""
+    min-K [+FPC] for pedestrian/nba (second_stage/pedestrian.py:149-239).
+
+    Reference precision/data semantics (src/train.py:100-118): the test pass
+    re-instantiates the trainer with precision="32-true" and runs on the
+    held-out test split — here the fp32-rebuilt ``exp.test_model`` over
+    ``exp.test_loaders``, with every float param leaf cast to fp32."""
     import json
     import os
+
+    import jax
+    from jax import numpy as jnp
 
     if exp.meta.get("stage") != 2:
         print("test protocols are defined for stage-2 experiments only")
         return
     from lam_slide_tpu.composites.testing import evaluate_md17, evaluate_min_k
+
+    model = exp.test_model if exp.test_model is not None else exp.model
+    loaders = exp.test_loaders if exp.test_loaders is not None else exp.val_loaders
+    to_f32 = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.float32) if hasattr(x, "dtype")
+        and jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+    params = to_f32(params)
+    fs_vars = to_f32(fs_vars)
 
     cfg = exp.meta.get("config", {})
     k = int(cfg.get("K", 5))
@@ -257,12 +274,12 @@ def _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir, molecule):
     if exp.meta["domain"] == "md17":
         from lam_slide_tpu.experiments.registry import MD17_SCALES
 
-        metrics = evaluate_md17(exp.model, params, fs_vars, exp.val_loaders,
+        metrics = evaluate_md17(model, params, fs_vars, loaders,
                                 scale=MD17_SCALES[molecule], k=k,
                                 mesh=mesh if args.test_mesh else None)
     elif exp.meta["domain"] in ("pedestrian", "nba"):
         num_runs = min(int(cfg.get("num_runs", k)), k)
-        metrics = evaluate_min_k(exp.model, params, fs_vars, exp.val_loaders,
+        metrics = evaluate_min_k(model, params, fs_vars, loaders,
                                  k=k, num_runs=num_runs,
                                  post_process=bool(cfg.get("post_process", False)),
                                  mesh=mesh if args.test_mesh else None)

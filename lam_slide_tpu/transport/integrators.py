@@ -128,12 +128,16 @@ def ode_dopri5(
     safety: float = 0.9,
     min_factor: float = 0.2,
     max_factor: float = 10.0,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Adaptive RK45 with FSAL under a bounded while_loop (jit-safe).
 
     Data-dependent step counts are expressed as a while_loop with a hard
     ``max_steps`` cap (SURVEY §7 hard part #1); the error norm is the usual
     RMS of err / (atol + rtol * max(|y|, |y_new|)).
+
+    ``return_stats=True`` → ``(x, n_iters)``: attempted step count (accepted
+    + rejected); NFE = 1 + 6 * n_iters by FSAL. Static python flag, jit-safe.
     """
     t0 = jnp.asarray(t0, jnp.float32)
     t1 = jnp.asarray(t1, jnp.float32)
@@ -176,6 +180,8 @@ def ode_dopri5(
         return (x_next, t_next, new_dt, k1_next, n + 1)
 
     x, t, dt, _, n = lax.while_loop(cond, body, (x0, t0, dt0, f0, jnp.int32(0)))
+    if return_stats:
+        return x, n
     return x
 
 

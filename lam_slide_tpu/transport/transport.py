@@ -275,11 +275,14 @@ class Sampler:
         atol: float = 1e-6,
         rtol: float = 1e-3,
         reverse: bool = False,
+        return_stats: bool = False,
     ) -> Callable:
         """ODE sample fn: (rng, init, model_fn, **kwargs) -> final x (transport.py:365-411).
 
         rng is accepted for API uniformity and ignored (the flow is
-        deterministic given the init noise).
+        deterministic given the init noise). ``return_stats=True`` (dopri5
+        only) → ``(x, n_iters)`` with the adaptive solver's attempted step
+        count (NFE = 1 + 6 * n_iters), for protocol benchmarking.
         """
         if reverse:
             drift = lambda x, t, m, **kw: self.drift(x, jnp.ones_like(t) * (1 - t), m, **kw)
@@ -301,7 +304,8 @@ class Sampler:
             if method in ("euler", "heun"):
                 return integrators.ode_fixed(f, init, t0, t1, num_steps, method=method)
             if method == "dopri5":
-                return integrators.ode_dopri5(f, init, t0, t1, rtol=rtol, atol=atol)
+                return integrators.ode_dopri5(f, init, t0, t1, rtol=rtol, atol=atol,
+                                              return_stats=return_stats)
             raise NotImplementedError(sampling_method)
 
         return _sample

@@ -43,6 +43,16 @@ class StepTimer:
     def mean_step_s(self) -> float:
         return float(np.mean(self._times)) if self._times else float("nan")
 
+    def record_epoch(self, epoch_s: float, n_steps: int):
+        """Derive step time from a synced epoch wall time (the trainer's
+        async-dispatch loop: per-step tick() would measure dispatch, not
+        device time)."""
+        if n_steps > 0:
+            self._times.append(epoch_s / n_steps)
+            if len(self._times) > self.window:
+                self._times.pop(0)
+        self._last = None
+
     def throughput(self, items_per_step: int) -> float:
         s = self.mean_step_s
         return items_per_step / s if s and np.isfinite(s) and s > 0 else float("nan")

@@ -21,6 +21,9 @@ def test_worker_isolates_one_failing_batch(monkeypatch, capsys):
         return 100.0 + b
 
     monkeypatch.setattr(bench, "measure", fake_measure)
+    fake_d5 = {"batch": 8, "nfe": 97, "drift_evals_per_sec": 400.0,
+               "solve_ms": 1940.0}
+    monkeypatch.setattr(bench, "measure_dopri5", lambda batch=8: fake_d5)
     bench.worker()
     rec = _last_json(capsys)
     # the measured points survive; the failure is reported, not fatal,
@@ -29,6 +32,7 @@ def test_worker_isolates_one_failing_batch(monkeypatch, capsys):
     assert set(rec["sweep"]) == {str(b) for b in ok}
     assert "RESOURCE_EXHAUSTED" in rec["sweep_errors"][str(fail_b)]
     assert "error" not in rec
+    assert rec["dopri5"] == fake_d5  # the eval-protocol arm rides along
 
 
 def test_worker_all_batches_failing_is_bench_failed(monkeypatch, capsys):
@@ -52,6 +56,9 @@ def test_worker_reprints_result_after_every_point(monkeypatch, capsys):
     import bench
 
     monkeypatch.setattr(bench, "measure", lambda b: 100.0 + b)
+    # the dopri5 arm failing must not lose the sweep result either
+    monkeypatch.setattr(bench, "measure_dopri5",
+                        lambda batch=8: (_ for _ in ()).throw(RuntimeError("x")))
     bench.worker()
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")]

@@ -206,6 +206,97 @@ def test_fit_failure_logs_and_saves_last(tmp_path):
     assert ckpt.has("last")  # resumable after the crash
 
 
+def test_cli_test_protocol_fp32_on_test_split(tmp_path, monkeypatch):
+    """--test runs the reference protocol for real (src/train.py:100-118):
+    fp32-rebuilt model (precision="32-true"), fp32-cast params, and the
+    held-out chronological TEST split — not the bf16 training model on the
+    val loaders (round-2 verdict, missing #1/#2)."""
+    import json
+
+    from lam_slide_tpu.composites import testing
+    from lam_slide_tpu.train.cli import main
+
+    captured = {}
+    real = testing.evaluate_md17
+
+    def spy(ss, params, fs_vars, loaders, **kw):
+        captured["model"] = ss
+        captured["loaders"] = loaders
+        captured["params"] = params
+        return real(ss, params, fs_vars, loaders, **kw)
+
+    monkeypatch.setattr(testing, "evaluate_md17", spy)
+    ws = str(tmp_path / "ws")
+    monkeypatch.chdir(tmp_path)
+
+    rc = main(["--experiment", "md17_first_stage", "--smoke", "--workspace", ws,
+               "--run-id", "s1", "--no-mesh", "--molecule", "aspirin"])
+    assert rc == 0
+    # force a bf16 train-time DiT so the fp32 rebuild is observable
+    rc = main(["--experiment", "md17_second_stage", "--smoke", "--workspace", ws,
+               "--run-id", "s2", "--first-stage-run", "s1", "--no-mesh",
+               "--test", "--molecule", "aspirin",
+               "--exp-set", "dit_dtype=bfloat16"])
+    assert rc == 0
+
+    # (a) the protocol model is the fp32 rebuild, not the bf16 training model
+    assert captured["model"].backbone.dit.dtype == jnp.float32
+    # (b) every float param leaf was cast to fp32
+    for leaf in jax.tree.leaves(captured["params"]):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    # (c) the data is the held-out chronological test split
+    for name, loader in captured["loaders"].items():
+        assert loader.dataset.mode == "test", name
+    assert np.isfinite(
+        json.load(open(tmp_path / "ws" / "s2" / "test_metrics.json"))
+        ["test/aspirin/ade"])
+
+
+def test_nba_pedestrian_splits_disjoint():
+    """Train and val/test data must be disjoint (round-2 verdict, missing #2):
+    NBA synthetic games use split-offset seeds; pedestrian synthetic scenes
+    use phase-keyed seeds; file layouts route through root/<split> dirs or a
+    filename-hash holdout."""
+    from lam_slide_tpu.data.nba import NBADataset, _holdout_is_test
+    from lam_slide_tpu.data.pedestrian import load_pedestrian_split
+
+    tr = NBADataset(scene="score", split="train", synthetic_games=4)
+    te = NBADataset(scene="score", split="test", synthetic_games=4)
+    for g_tr in tr.games:
+        for g_te in te.games:
+            assert not np.array_equal(g_tr["pos"], g_te["pos"])
+
+    d_tr, _ = load_pedestrian_split(None, "zara1", "train", synthetic_scenes=4)
+    d_te, _ = load_pedestrian_split(None, "zara1", "test", synthetic_scenes=4)
+    assert not np.array_equal(d_tr, d_te)
+
+    # filename-hash holdout partitions any name set
+    names = [f"game_{i}.npz" for i in range(200)]
+    test_names = {n for n in names if _holdout_is_test(n)}
+    assert 0 < len(test_names) < len(names)
+
+
+def test_nba_split_dirs(tmp_path):
+    """root/<split> subdirectories ARE the split (the reference's
+    data_dir/<scene>/<mode> SocialVAE layout, nba.py:199-205)."""
+    from lam_slide_tpu.data.nba import NBADataset
+
+    rng = np.random.default_rng(0)
+    for split, n_games in (("train", 3), ("test", 2)):
+        d = tmp_path / split
+        d.mkdir()
+        for i in range(n_games):
+            np.savez(d / f"g{i}.npz",
+                     pos=rng.normal(size=(25, 11, 2)).astype(np.float32),
+                     team=np.zeros((25, 11), np.int64),
+                     group=np.zeros((25, 11), np.int64),
+                     agent_id=np.broadcast_to(np.arange(11), (25, 11)))
+    tr = NBADataset(scene="score", root=str(tmp_path), split="train")
+    te = NBADataset(scene="score", root=str(tmp_path), split="test")
+    assert len(tr.games) == 3 and len(te.games) == 2
+
+
 def test_cli_test_only_from_checkpoint(tmp_path, monkeypatch):
     """Standalone test-from-checkpoint (scripts/nba/nba_qd.py semantics,
     src/train.py:100-105 test_ckpt): train a smoke two-stage NBA run via the

@@ -34,6 +34,30 @@ def test_npy_batch_axis_squeezed(tmp_path):
     np.testing.assert_array_equal(load_traj(str(p)), xyz)
 
 
+def test_npz_batched_rejected(tmp_path):
+    # A 4-D npz is an error: the reference squeezes .npy only
+    # (traj_utils.py:34-37), and silently returning arr[0] would drop
+    # trajectories 1..B-1.
+    p = tmp_path / "a.npz"
+    np.savez(p, positions=_xyz(t=4)[None].repeat(2, axis=0))
+    with pytest.raises(ValueError, match="batched"):
+        load_traj(str(p))
+
+
+def test_pdb_nm_unit(tmp_path):
+    # pdb_unit="nm" reproduces the reference's mdtraj contract (A -> nm).
+    p = tmp_path / "a.pdb"
+    p.write_text(
+        "MODEL     1\n"
+        "ATOM      1  CA  ALA A   1      10.000  20.000  30.000\n"
+        "ENDMDL\n"
+    )
+    np.testing.assert_allclose(load_traj(str(p), pdb_unit="nm"),
+                               [[[1.0, 2.0, 3.0]]], atol=1e-6)
+    with pytest.raises(ValueError, match="pdb_unit"):
+        load_traj(str(p), pdb_unit="bogus")
+
+
 def test_npy_bad_shape(tmp_path):
     p = tmp_path / "a.npy"
     np.save(p, np.zeros((5, 7)))

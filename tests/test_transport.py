@@ -235,3 +235,70 @@ def test_dopri5_matches_scipy_rk45():
     out = jax.jit(lambda x: ode_dopri5(drift_jax, x, 0.0, 1.0,
                                        rtol=1e-3, atol=1e-6))(jnp.asarray(y0))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-5)
+
+
+def test_dopri5_matches_scipy_on_dit_drift():
+    """Pin the bounded-while dopri5 against scipy RK45 on the ACTUAL 4AA
+    stage-2 DiT drift (GVP path, data prediction, in_dim 96 / hidden 384 /
+    16 heads x dh=24 — configs/model/peptide/second-stage.yaml shapes, at
+    reduced depth/T for CPU feasibility), not just toy ODEs. Also pins the
+    return_stats NFE plumbing the bench protocol arm uses."""
+    from scipy.integrate import solve_ivp
+
+    from lam_slide_tpu.models import LatentDiT
+    from lam_slide_tpu.transport import Sampler
+
+    t_, l_, din = 24, 2, 96
+    model = LatentDiT(depth=2, in_dim=din, hidden_size=384, num_heads=16,
+                      mlp_ratio=2, n_timesteps=t_)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (1, t_, l_, din))
+    x_cond = jnp.zeros_like(x0)
+    mask = jnp.zeros((1, t_, l_), jnp.int32).at[:, :1].set(1)
+    variables = model.init(key, x0, jnp.zeros((1,)), x_cond, mask)
+    # perturb the zero-init output layers so the drift is non-trivial
+    rng = np.random.default_rng(3)
+    variables = jax.tree.map(
+        lambda p: p + jnp.asarray(0.02 * rng.standard_normal(p.shape),
+                                  p.dtype), variables)
+
+    def model_fn(xt, t, **kw):
+        return model.apply(variables, xt, t, **kw)
+
+    transport = create_transport(path_type="GVP", prediction="data")
+    sampler = Sampler(transport)
+    t0, t1 = transport.check_interval(transport.train_eps,
+                                      transport.sample_eps, sde=False,
+                                      eval=True, reverse=False,
+                                      last_step_size=0.0)
+    drift = jax.jit(lambda x, tv: sampler.drift(x, tv, model_fn,
+                                                x_cond=x_cond,
+                                                x_cond_mask=mask))
+
+    # scipy reference at tighter tolerance on the flattened system
+    shape = x0.shape
+
+    def drift_np(t, y):
+        x = jnp.asarray(y.reshape(shape), jnp.float32)
+        tv = jnp.full((shape[0],), t, jnp.float32)
+        return np.asarray(drift(x, tv), np.float64).ravel()
+
+    ref = solve_ivp(drift_np, (float(t0), float(t1)),
+                    np.asarray(x0, np.float64).ravel(), method="RK45",
+                    rtol=1e-6, atol=1e-9).y[:, -1].reshape(shape)
+
+    sample_fn = sampler.sample_ode(sampling_method="dopri5", atol=1e-6,
+                                   rtol=1e-3, return_stats=True)
+    out, n_iters = jax.jit(
+        lambda x: sample_fn(None, x, model_fn, x_cond=x_cond,
+                            x_cond_mask=mask))(x0)
+    assert int(n_iters) > 0  # the NFE counter the bench arm reports
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref,
+                               rtol=5e-3, atol=5e-4)
+    # stats off -> same trajectory endpoint, plain array return
+    plain_fn = sampler.sample_ode(sampling_method="dopri5", atol=1e-6,
+                                  rtol=1e-3)
+    plain = jax.jit(
+        lambda x: plain_fn(None, x, model_fn, x_cond=x_cond,
+                           x_cond_mask=mask))(x0)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(out), atol=0)

@@ -59,11 +59,13 @@ def _heavy_atom_indices(top_path: str):
 
 
 def _load_xyz(traj_path: str, top_path: str) -> np.ndarray:
-    """-> [T, n_atoms_all, 3] float32 (nm for xtc/dcd, as-stored else)."""
+    """-> [T, n_atoms_all, 3] float32, nm for xtc/dcd/pdb (pdb converted
+    Angstrom->nm, the reference's mdtraj contract — so mixed-format inputs
+    can't silently mix units 10x apart), as-stored for npz/npy."""
     from lam_slide_tpu.data.trajio import load_traj
 
     try:
-        return load_traj(traj_path)
+        return load_traj(traj_path, pdb_unit="nm")
     except RuntimeError:  # xtc native codec needs a host compiler
         try:
             import mdtraj as md
@@ -77,10 +79,14 @@ def _load_xyz(traj_path: str, top_path: str) -> np.ndarray:
         raise SystemExit(str(e)) from e
 
 
-def _write_state0_pdb(out_path: str, top_path: str, xyz0: np.ndarray,
+def _write_state0_pdb(out_path: str, top_path: str, xyz0_nm: np.ndarray,
                       keep: np.ndarray):
-    """Frame-0 PDB: the topology's heavy-atom records with updated coords."""
+    """Frame-0 PDB: the topology's heavy-atom records with updated coords.
+
+    ``xyz0_nm`` is in nm; written x10 as Angstrom (PDB convention — the
+    reference's mdtraj ``save_pdb`` does the same nm->A conversion)."""
     kept = set(int(i) for i in keep)
+    xyz0 = np.asarray(xyz0_nm, np.float64) * 10.0
     lines, ai, wi = [], 0, 0
     with open(top_path) as f:
         for line in f:
