@@ -324,6 +324,21 @@ class ParallelMLPAttention(nn.Module):
                     k = packed_rope(k, cos_l, sin_l)
                 if self.attention_mode != "linear" and n <= self.packed_threshold:
                     attn = packed_small_attention(q, k, v, h, scale=self.qk_scale)
+                elif (self.attention_mode != "linear"
+                      and os.environ.get("LAM_SLIDE_NO_PACKED_FLASH") != "1"):
+                    # Default long-axis path: attention consumes/produces the
+                    # PACKED layout — the 4 head relayout copies per layer
+                    # (3.49 ms of the 16.6 ms drift eval, docs/PERF.md) ride
+                    # the flash kernel's strided block DMAs instead. Off-TPU
+                    # or under a forced-xla backend this dispatches to the
+                    # identical head-major composition.
+                    from lam_slide_tpu.ops.attention import (
+                        dot_product_attention_packed,
+                    )
+
+                    attn = dot_product_attention_packed(
+                        q, k, v, h, scale=self.qk_scale, backend=self.backend
+                    )
                 else:
                     qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
                     if self.attention_mode == "linear":

@@ -93,6 +93,50 @@ def dot_product_attention(
     raise ValueError(f"unknown attention backend: {backend}")
 
 
+def dot_product_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Attention over packed [B, N, H·dh] inputs -> packed output.
+
+    On the Pallas backend the head-major relayouts disappear into the flash
+    kernel's strided block DMAs (ops/flash_attention.py
+    ``flash_attention_packed``); on the XLA backend (off-TPU, forced via
+    FORCE_BACKEND/LAM_SLIDE_ATTN_BACKEND, or tiny axes) this transposes and
+    runs ``xla_attention`` — byte-identical behavior to the caller doing the
+    head-major dance itself.
+    """
+    b, n, d_all = q.shape
+    dh = d_all // num_heads
+    if backend == "auto":
+        backend = _pick_backend_packed(q, mask)
+    if backend == "pallas":
+        from lam_slide_tpu.ops.flash_attention import flash_attention_packed
+
+        return flash_attention_packed(q, k, v, num_heads, mask=mask, scale=scale)
+    to_heads = lambda t: t.reshape(b, -1, num_heads, dh).transpose(0, 2, 1, 3)
+    out = xla_attention(to_heads(q), to_heads(k), to_heads(v), mask=mask,
+                        scale=scale)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, d_all)
+
+
+def _pick_backend_packed(q: jnp.ndarray, mask: Optional[jnp.ndarray]) -> str:
+    """Mirror of ``_pick_backend`` for packed [B, N, H·dh] operands."""
+    forced = FORCE_BACKEND or os.environ.get("LAM_SLIDE_ATTN_BACKEND")
+    if forced:
+        return forced
+    on_tpu = jax.default_backend() == "tpu"
+    rank4_mask = mask is not None and mask.ndim == 4
+    if on_tpu and q.shape[1] >= 128 and not rank4_mask:
+        return "pallas"
+    return "xla"
+
+
 def _pick_backend(q: jnp.ndarray, mask: Optional[jnp.ndarray]) -> str:
     # Measured on v5e (tests/test_flash_attention.py drive): the Pallas
     # kernel matches or beats the XLA path from ~128 keys up and is the only

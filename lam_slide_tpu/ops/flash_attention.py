@@ -35,11 +35,16 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias,
-                  with_lse=False):
+                  with_lse=False, packed=False):
     """One (bh, q-block) program: iterate key blocks with running softmax.
 
     q_ref: [1, block_q, d]; k_ref/v_ref: [1, padded_n, d];
     bias_ref (only when ``has_bias``): [1, 1, padded_n]; o_ref: [1, block_q, d].
+
+    ``packed=True``: q/k/v/o refs carry a singleton head axis —
+    [1, block_q, 1, d] / [1, padded_n, 1, d] — because the HBM arrays stay
+    in the packed [B, N, H, d] layout and each program's BlockSpec picks its
+    head via a strided DMA (see ``_flash_forward_packed``). Identical math.
 
     Numerics: matmuls take the input dtype (bf16 in production) with fp32
     MXU accumulation (``preferred_element_type``); logits, softmax statistics
@@ -56,15 +61,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias,
     bias_ref = rest[0] if has_bias else None
     o_ref = rest[1] if (has_bias and with_lse) else (rest[0] if with_lse else rest[-1])
     lse_ref = rest[-1] if with_lse else None
-    _, block_q, d = q_ref.shape
+    if packed:
+        _, block_q, _, d = q_ref.shape
+        q = q_ref[0, :, 0, :]
+        k_blk = lambda lo, n: k_ref[0, pl.ds(lo, n), 0, :]
+        v_blk = lambda lo, n: v_ref[0, pl.ds(lo, n), 0, :]
+        store = lambda o: o_ref.__setitem__((0, slice(None), 0, slice(None)), o)
+    else:
+        _, block_q, d = q_ref.shape
+        q = q_ref[0]
+        k_blk = lambda lo, n: k_ref[0, pl.ds(lo, n), :]
+        v_blk = lambda lo, n: v_ref[0, pl.ds(lo, n), :]
+        store = lambda o: o_ref.__setitem__((0,), o)
     padded_n = k_ref.shape[1]
     num_kb = padded_n // block_k
     v_dtype = v_ref.dtype
 
-    q = q_ref[0]
-
     def logits(kb, masked):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        k = k_blk(kb * block_k, block_k)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [block_q, block_k] fp32
@@ -78,7 +92,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias,
         return s
 
     def av(p, kb):
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_blk(kb * block_k, block_k)
         return jax.lax.dot_general(
             p.astype(v_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -91,7 +105,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias,
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0] = (av(p, 0) / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        store((av(p, 0) / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
         if with_lse:
             lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
         return
@@ -119,7 +133,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest, scale, block_k, seq_len, has_bias,
     if full_kb != num_kb:
         carry = step(num_kb - 1, carry, masked=True)
     m, l, acc = carry
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    store((acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
     if with_lse:
         lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
@@ -206,6 +220,192 @@ def _flash_forward(q, k, v, bias, scale, block_q=1024, block_k=1024,
         return (out.reshape(b, h, pq, dp)[:, :, :nq, :d],
                 lse.reshape(b, h, pq)[:, :, :nq])
     return res.reshape(b, h, pq, dp)[:, :, :nq, :d]
+
+
+_PACKED_GROUP = 8  # DMA slices on the head axis must be 8-aligned (sublane tiling)
+
+
+def _packed_manual_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob,
+                          sem_in, sem_out, *, scale, num_heads, with_lse,
+                          lse_hbm=None, lseb=None):
+    """Whole-panel packed-layout attention with hand-rolled DMA pipelining.
+
+    The operands stay in HBM in the packed [B, N, H, dh] layout; a
+    double-buffered loop over (batch, 8-head-group) pairs issues strided
+    group-panel DMAs (``.at[b, :, g*8:(g+1)*8, :]`` — the head axis is
+    sliced in sublane-aligned groups of 8, each HBM row fragment 8·dh wide)
+    for iteration i+1 while the MXU/VPU computes iteration i. The
+    head-major relayout never exists as a standalone copy pass: its HBM
+    traffic hides under the attention compute, and the per-head extraction
+    happens on registers in VMEM. Mosaic's BlockSpec pipeline cannot express
+    this (a (1, N, 1, dh) block violates the minor-two-dims tiling rule, and
+    per-head DMA slices violate the 8-sublane alignment), hence the manual
+    ``make_async_copy`` orchestration.
+
+    Softmax numerics are identical to ``_flash_kernel``'s single-key-block
+    branch: fp32 logits/statistics, weights cast to the value dtype for AV.
+    Restrictions (callers fall back to the head-major path otherwise):
+    whole key panel per iteration (no key blocking), no bias row, and
+    H % 8 == 0.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, d = q_hbm.shape
+    nk = k_hbm.shape[1]
+    g = _PACKED_GROUP
+    ng = h // g
+    nit = b * ng  # (batch, head-group) iterations
+    v_dtype = v_hbm.dtype
+
+    def in_dma(i, slot, buf, hbm):
+        bi, gi = i // ng, i % ng
+        return pltpu.make_async_copy(
+            hbm.at[bi, :, pl.ds(gi * g, g), :], buf.at[slot], sem_in.at[slot])
+
+    def out_dma(i, slot):
+        bi, gi = i // ng, i % ng
+        return pltpu.make_async_copy(
+            ob.at[slot], o_hbm.at[bi, :, pl.ds(gi * g, g), :],
+            sem_out.at[slot])
+
+    def lse_dma(i, slot):
+        bi, gi = i // ng, i % ng
+        return pltpu.make_async_copy(
+            lseb.at[slot], lse_hbm.at[bi, pl.ds(gi * g, g), :, :],
+            sem_out.at[2 + slot])
+
+    def start_inputs(i, slot):
+        in_dma(i, slot, qb, q_hbm).start()
+        in_dma(i, slot, kb, k_hbm).start()
+        in_dma(i, slot, vb, v_hbm).start()
+
+    start_inputs(0, 0)
+
+    def body(i, carry):
+        slot = i % 2
+        nxt = (i + 1) % 2
+
+        @pl.when(i + 1 < nit)
+        def _():
+            # the nxt buffers were last read by compute at iteration i-1,
+            # which has already completed (compute is in-order)
+            start_inputs(i + 1, nxt)
+
+        in_dma(i, slot, qb, q_hbm).wait()
+        in_dma(i, slot, kb, k_hbm).wait()
+        in_dma(i, slot, vb, v_hbm).wait()
+
+        @pl.when(i >= 2)
+        def _():
+            # this slot's previous output DMA must drain before overwriting
+            out_dma(i - 2, slot).wait()
+            if with_lse:
+                lse_dma(i - 2, slot).wait()
+
+        # [N, G, dh] group panels -> per-head [N, dh] via static slicing
+        qg, kg, vg = qb[slot], kb[slot], vb[slot]
+        outs, lses = [], []
+        for hh in range(g):
+            q = qg[:, hh, :]
+            s = jax.lax.dot_general(
+                q, kg[:, hh, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [n, nk] fp32
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(v_dtype), vg[:, hh, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append((acc / jnp.maximum(l, 1e-30))[:, None, :])
+            if with_lse:
+                lses.append((m + jnp.log(jnp.maximum(l, 1e-30)))[None, :, :])
+        ob[slot] = jnp.concatenate(outs, axis=1).astype(ob.dtype)
+        out_dma(i, slot).start()
+        if with_lse:
+            lseb[slot] = jnp.concatenate(lses, axis=0)
+            lse_dma(i, slot).start()
+        return carry
+
+    jax.lax.fori_loop(0, nit, body, 0)
+    # drain the last two output DMAs
+    out_dma(nit - 1, (nit - 1) % 2).wait()
+
+    @pl.when(jnp.asarray(nit > 1))
+    def _():
+        out_dma(nit - 2, (nit - 2) % 2).wait()
+    if with_lse:
+        lse_dma(nit - 1, (nit - 1) % 2).wait()
+
+        @pl.when(jnp.asarray(nit > 1))
+        def _():
+            lse_dma(nit - 2, (nit - 2) % 2).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "with_lse")
+)
+def _flash_forward_packed(q, k, v, num_heads, scale, with_lse=False):
+    """Packed-layout flash forward: q, k, v [B, N, H·dh] -> [B, N, H·dh].
+
+    Dispatches the manual-DMA whole-panel kernel (``_packed_manual_kernel``)
+    over the packed [B, N, H, dh] view — no head-major relayout copies, the
+    strided panel loads ride double-buffered DMAs under the compute. At the
+    DiT temporal shapes those 4 relayout copies per layer (q/k/v in, out
+    back) were 3.49 ms of the 16.6 ms drift eval (docs/PERF.md).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, nq, d_all = q.shape
+    h = num_heads
+    d = d_all // h
+    nk = k.shape[1]
+    q4 = q.reshape(b, nq, h, d)
+    k4 = k.reshape(b, nk, h, d)
+    v4 = v.reshape(b, nk, h, d)
+
+    grp = _PACKED_GROUP
+    out_shapes = [jax.ShapeDtypeStruct((b, nq, h, d), q.dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    scratch = [
+        pltpu.VMEM((2, nq, grp, d), q.dtype),   # q group slots
+        pltpu.VMEM((2, nk, grp, d), k.dtype),   # k group slots
+        pltpu.VMEM((2, nk, grp, d), v.dtype),   # v group slots
+        pltpu.VMEM((2, nq, grp, d), q.dtype),   # out group slots
+        pltpu.SemaphoreType.DMA((2,)),     # input sems (one per slot)
+        pltpu.SemaphoreType.DMA((4,)),     # output sems (out + lse per slot)
+    ]
+    kwargs = dict(scale=scale, num_heads=h, with_lse=with_lse)
+    if with_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        # lse slots sit before the semaphores (kernel signature order)
+        scratch.insert(4, pltpu.VMEM((2, grp, nq, 1), jnp.float32))
+
+        def kernel(q_hbm, k_hbm, v_hbm, o_hbm, lse_hbm, qb, kb, vb, ob,
+                   lseb, sem_in, sem_out):
+            _packed_manual_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob,
+                                  sem_in, sem_out, lse_hbm=lse_hbm, lseb=lseb,
+                                  **kwargs)
+    else:
+        def kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob, sem_in,
+                   sem_out):
+            _packed_manual_kernel(q_hbm, k_hbm, v_hbm, o_hbm, qb, kb, vb, ob,
+                                  sem_in, sem_out, **kwargs)
+
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=jax.default_backend() != "tpu",
+    )(q4, k4, v4)
+    out = res[0].reshape(b, nq, d_all)
+    if with_lse:
+        return out, res[1].reshape(b, h, nq)
+    return out
 
 
 def _bwd_probs(q_blk, k_blk, lse_blk, bias_ref, kb, block_k, seq_len, scale,
@@ -514,3 +714,74 @@ def flash_attention(
     scale = float(d**-0.5 if scale is None else scale)
     bias = _mask_to_bias(mask, q.shape[0], k.shape[2])
     return _flash_attention_core(q, k, v, bias, scale)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout entry: [B, N, H·dh] in and out, no standalone head relayouts.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_packed_core(q, k, v, num_heads, scale):
+    return _flash_forward_packed(q, k, v, num_heads, scale)
+
+
+def _packed_fwd(q, k, v, num_heads, scale):
+    out, lse = _flash_forward_packed(q, k, v, num_heads, scale, with_lse=True)
+    return out, (q, k, v, out, lse)
+
+
+def _packed_bwd(num_heads, scale, res, g):
+    """Backward via the head-major kernels: transpose in, transpose grads
+    back. For training this is a wash with the head-major path (whose
+    forward transposes differentiate into backward transposes anyway); the
+    packed layout's win is the grad-free sampling loop."""
+    q, k, v, out, lse = res
+    b, _, d_all = q.shape
+    h = num_heads
+    d = d_all // h
+    hm = lambda t: t.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
+    dq, dk, dv, _ = _core_bwd(scale, (hm(q), hm(k), hm(v), None, hm(out), lse),
+                              hm(g))
+    back = lambda t: t.transpose(0, 2, 1, 3).reshape(b, -1, d_all)
+    return back(dq), back(dk), back(dv)
+
+
+_flash_packed_core.defvjp(_packed_fwd, _packed_bwd)
+
+
+def flash_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Flash attention over packed inputs: q/k/v [B, N, H·dh] -> [B, N, H·dh].
+
+    Same math as ``flash_attention`` on the head-major reshape, but the head
+    axis is resolved by the manual-DMA whole-panel kernel instead of
+    standalone relayout copies (see ``_flash_forward_packed``). Masked calls
+    fall back to the head-major path (the manual kernel carries no bias row
+    — the DiT axes it serves attend unmasked).
+    """
+    dh = q.shape[-1] // num_heads
+    scale = float(dh**-0.5 if scale is None else scale)
+    # Mosaic DMA tiling rules (measured 2026-08-19, docs/PERF.md): slices on
+    # the head axis must be 8-sublane-aligned AND the lane (head-feature)
+    # dim 128-aligned once any minor dim is sliced — so the manual kernel is
+    # only lowerable for dh % 128 == 0. At the DiT's dh=24 every in-kernel
+    # relayout design is either un-lowerable or VMEM-infeasible (lane
+    # padding 24→128 = 5.3x), so those shapes take the head-major path —
+    # identical math, with the standalone transpose copies.
+    on_tpu = jax.default_backend() == "tpu"
+    kernel_ok = (mask is None and num_heads % _PACKED_GROUP == 0
+                 and (not on_tpu or dh % 128 == 0)
+                 and max(q.shape[1], k.shape[1]) * dh <= (1 << 20))
+    if not kernel_ok:
+        b, n, d_all = q.shape
+        hm = lambda t: t.reshape(b, -1, num_heads, dh).transpose(0, 2, 1, 3)
+        out = flash_attention(hm(q), hm(k), hm(v), mask=mask, scale=scale)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, d_all)
+    return _flash_packed_core(q, k, v, num_heads, scale)

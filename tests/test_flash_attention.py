@@ -177,3 +177,89 @@ class TestShortGroupedBackward:
         np.testing.assert_allclose(dq, rq, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(dk, rk, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(dv, rv, rtol=1e-4, atol=1e-5)
+
+
+class TestPackedLayout:
+    """flash_attention_packed: the strided-DMA packed-layout entry must be
+    byte-equivalent math to head-major flash_attention (the relayout moves
+    into the kernel's block DMAs, nothing else changes)."""
+
+    @staticmethod
+    def _packed(key, b=2, h=8, n=100, nk=None, dh=24, dtype=jnp.float32):
+        nk = n if nk is None else nk
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, n, h * dh), dtype)
+        k = jax.random.normal(kk, (b, nk, h * dh), dtype)
+        v = jax.random.normal(kv, (b, nk, h * dh), dtype)
+        return q, k, v
+
+    @staticmethod
+    def _ref(q, k, v, h, mask=None, scale=None):
+        b, n, d_all = q.shape
+        dh = d_all // h
+        hm = lambda t: t.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+        out = flash_attention(hm(q), hm(k), hm(v), mask=mask, scale=scale)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, d_all)
+
+    @pytest.mark.parametrize("n,nk,dh", [(100, 100, 24), (33, 257, 16),
+                                         (1000, 1000, 24)])
+    def test_matches_headmajor(self, n, nk, dh):
+        from lam_slide_tpu.ops.flash_attention import flash_attention_packed
+
+        q, k, v = self._packed(jax.random.PRNGKey(0), n=n, nk=nk, dh=dh)
+        out = flash_attention_packed(q, k, v, 8)
+        ref = self._ref(q, k, v, 8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_masked_falls_back_correctly(self):
+        # the manual kernel carries no bias row; masked calls must route to
+        # the head-major path with identical mask semantics
+        from lam_slide_tpu.ops.flash_attention import flash_attention_packed
+
+        q, k, v = self._packed(jax.random.PRNGKey(1), n=300, nk=300, dh=16)
+        mask = jnp.ones((2, 300), bool).at[:, 250:].set(False)
+        k2 = k.at[:, 250:].set(999.0)
+        v2 = v.at[:, 250:].set(-999.0)
+        out2 = flash_attention_packed(q, k2, v2, 4, mask=mask)
+        ref2 = self._ref(q, k2, v2, 4, mask=mask)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                                   atol=2e-5)
+
+    def test_grads_match_headmajor(self):
+        from lam_slide_tpu.ops.flash_attention import flash_attention_packed
+
+        q, k, v = self._packed(jax.random.PRNGKey(2), n=64, dh=16)
+
+        def loss_packed(q, k, v):
+            return jnp.sum(flash_attention_packed(q, k, v, 8) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(self._ref(q, k, v, 8) ** 2)
+
+        gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_dispatcher_xla_fallback_identical(self, monkeypatch):
+        from lam_slide_tpu.ops import attention as am
+
+        q, k, v = self._packed(jax.random.PRNGKey(3), n=48, dh=8)
+        out_auto = am.dot_product_attention_packed(q, k, v, 8)
+        monkeypatch.setattr(am, "FORCE_BACKEND", "xla")
+        out_xla = am.dot_product_attention_packed(q, k, v, 8)
+        np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_bf16(self):
+        from lam_slide_tpu.ops.flash_attention import flash_attention_packed
+
+        q, k, v = self._packed(jax.random.PRNGKey(4), n=128, dh=24,
+                               dtype=jnp.bfloat16)
+        out = flash_attention_packed(q, k, v, 8)
+        ref = self._ref(q, k, v, 8)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32), atol=3e-2)

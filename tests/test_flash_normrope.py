@@ -145,12 +145,23 @@ class TestModelPathParity:
         monkeypatch.setenv("LAM_SLIDE_KERNEL_NORMROPE", "1")
         monkeypatch.setenv("LAM_SLIDE_ATTN_BACKEND", "xla")
         calls = []
-        real = ld.dot_product_attention
+        from lam_slide_tpu.ops import attention as am
 
-        def spy(*a, **kw):
-            calls.append(1)
-            return real(*a, **kw)
+        real_hm = ld.dot_product_attention
+        real_pk = am.dot_product_attention_packed
 
-        monkeypatch.setattr(ld, "dot_product_attention", spy)
+        def spy_hm(*a, **kw):
+            calls.append("headmajor")
+            return real_hm(*a, **kw)
+
+        def spy_pk(*a, **kw):
+            calls.append("packed")
+            return real_pk(*a, **kw)
+
+        monkeypatch.setattr(ld, "dot_product_attention", spy_hm)
+        # the default long-axis route is the packed dispatcher (which honors
+        # the forced backend internally) — either dispatcher satisfies the
+        # invariant that the normrope kernel does not engage
+        monkeypatch.setattr(am, "dot_product_attention_packed", spy_pk)
         mod.apply(params, x, cos, sin)
-        assert calls, "forced-xla run must use the dispatcher, not the kernel"
+        assert calls, "forced-xla run must use a dispatcher, not the kernel"

@@ -1,0 +1,107 @@
+"""Convergence artifact driver — the committed evidence that the trainer
+actually LEARNS (round-2 verdict, missing #3).
+
+Runs the full two-stage MD17 lineage plus the peptide pair end-to-end at
+non-smoke model width on synthetic data (real datasets are not in this
+environment), with budgets sized so the whole chain finishes in well under
+an hour on one v5e chip:
+
+    1. md17_first_stage  (aspirin, full width)  -> runs/<ws>/conv-md17-s1
+    2. md17_second_stage (lineage via registry) -> runs/<ws>/conv-md17-s2
+       with the in-loop sampled ADE/FDE hook, then --test (fp32, held-out
+       chronological test split)
+    3. peptide_first_stage                      -> runs/<ws>/conv-pep-s1
+    4. peptide_second_stage (lineage)           -> runs/<ws>/conv-pep-s2
+    5. analysis.eval_cli on the stage-2 run     -> eval/metrics.json
+       (dopri5 protocol, JSD/TICA/MSM bundle)
+
+Reproduce with:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/convergence.py \
+        --workspace runs/convergence
+
+The run directories' metrics.jsonl / test_metrics.json / eval/metrics.json
+are the artifact; tools/summarize_convergence.py turns them into the
+committed docs/CONVERGENCE.md table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def phase(name):
+    print(f"\n=== {name} [{time.strftime('%H:%M:%S')}] ===", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workspace", default="runs/convergence")
+    p.add_argument("--md17-s1-epochs", type=int, default=40)
+    p.add_argument("--md17-s2-epochs", type=int, default=16)
+    p.add_argument("--pep-s1-epochs", type=int, default=800)
+    p.add_argument("--pep-s2-epochs", type=int, default=400)
+    p.add_argument("--skip-md17", action="store_true")
+    p.add_argument("--skip-peptide", action="store_true")
+    args = p.parse_args()
+
+    from lam_slide_tpu.train.cli import main as train_main
+
+    ws = args.workspace
+    t0 = time.time()
+
+    if not args.skip_md17:
+        phase("md17 stage 1 (aspirin, full width)")
+        train_main([
+            "--experiment", "md17_first_stage", "--molecule", "aspirin",
+            "--workspace", ws, "--run-id", "conv-md17-s1", "--no-mesh",
+            "--epochs", str(args.md17_s1_epochs),
+            "--set", "val_every_n_epochs=4",
+        ])
+
+        phase("md17 stage 2 (lineage, in-loop ADE/FDE hook, fp32 --test)")
+        train_main([
+            "--experiment", "md17_second_stage", "--molecule", "aspirin",
+            "--workspace", ws, "--run-id", "conv-md17-s2", "--no-mesh",
+            "--first-stage-run", "conv-md17-s1",
+            "--epochs", str(args.md17_s2_epochs),
+            "--set", "val_every_n_epochs=4", "--test",
+        ])
+
+    if not args.skip_peptide:
+        phase("peptide stage 1 (full width)")
+        train_main([
+            "--experiment", "peptide_first_stage",
+            "--workspace", ws, "--run-id", "conv-pep-s1", "--no-mesh",
+            "--epochs", str(args.pep_s1_epochs),
+            "--set", "val_every_n_epochs=100",
+        ])
+
+        phase("peptide stage 2 (lineage)")
+        train_main([
+            "--experiment", "peptide_second_stage",
+            "--workspace", ws, "--run-id", "conv-pep-s2", "--no-mesh",
+            "--first-stage-run", "conv-pep-s1",
+            "--epochs", str(args.pep_s2_epochs),
+            "--set", "val_every_n_epochs=50",
+        ])
+
+        phase("peptide eval pipeline (dopri5 protocol, JSD/TICA/MSM)")
+        from lam_slide_tpu.analysis.eval_cli import main as eval_main
+
+        eval_main([
+            "--run", "conv-pep-s2", "--workspace", ws,
+            "--num-rollouts", "3",
+        ])
+
+    print(f"\nconvergence chain done in {time.time() - t0:.0f}s; "
+          f"artifacts under {ws}/", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
