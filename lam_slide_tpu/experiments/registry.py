@@ -95,12 +95,15 @@ def load_first_stage_variables(workspace: str, run_id: str, which: str = "best")
 
 
 def _md17_datasets(smoke, data_root, first_stage, molecules, num_entities, span, scales,
-                   with_test=False):
+                   with_test=False, synthetic_frames=None):
     from lam_slide_tpu.data.md17 import MD17Dataset
 
+    # default synthetic fallback is sized for tests; non-smoke runs on
+    # synthetic data (e.g. tools/convergence.py) pass a larger value so the
+    # 5000-window train split actually fills the reference batch sizes
     kw = dict(
         root=data_root, span=span, first_stage=first_stage, num_entities=num_entities,
-        synthetic_frames=3000 if smoke else 4000,
+        synthetic_frames=synthetic_frames or (3000 if smoke else 4000),
     )
     train_sets = [
         MD17Dataset(molecule=m, mode="train", scale=scales[m], rand_rotation=True,
@@ -138,7 +141,7 @@ class _ConcatDataset:
 
 
 def md17_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
-                     molecule="all", **_):
+                     molecule="all", synthetic_frames=None, **_):
     from lam_slide_tpu.composites.md17 import (
         MD17FirstStageConfig, build_md17_first_stage, make_md17_first_stage_loss,
     )
@@ -154,7 +157,8 @@ def md17_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     )
     model = build_md17_first_stage(cfg)
     train_sets, val_sets = _md17_datasets(
-        smoke, data_root, True, molecules, cfg.num_entities, 30, MD17_SCALES
+        smoke, data_root, True, molecules, cfg.num_entities, 30, MD17_SCALES,
+        synthetic_frames=synthetic_frames,
     )
     bs = 16 if smoke else 256
     collate = functools.partial(pad_collate, num_entities=cfg.num_entities)
@@ -178,7 +182,8 @@ def md17_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
 
 
 def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
-                      molecule="all", first_stage_run=None, dit_dtype=None, **_):
+                      molecule="all", first_stage_run=None, dit_dtype=None,
+                      synthetic_frames=None, **_):
     from lam_slide_tpu.composites.md17 import (
         MD17FirstStageConfig, MD17SecondStageConfig, build_md17_first_stage,
         build_md17_second_stage,
@@ -207,7 +212,7 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     fs_model = build_md17_first_stage(fs_cfg)
     train_sets, val_sets, test_sets = _md17_datasets(
         smoke, data_root, False, molecules, fs_cfg.num_entities, 30, MD17_SCALES,
-        with_test=True,
+        with_test=True, synthetic_frames=synthetic_frames,
     )
     bs = 4 if smoke else 64
     collate = functools.partial(pad_collate_temporal, num_entities=fs_cfg.num_entities)

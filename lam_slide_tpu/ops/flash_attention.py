@@ -409,12 +409,21 @@ def _flash_forward_packed(q, k, v, num_heads, scale, with_lse=False):
 
 
 def _bwd_probs(q_blk, k_blk, lse_blk, bias_ref, kb, block_k, seq_len, scale,
-               has_bias, masked):
+               has_bias, masked, single_kb=False):
     """Recompute the [bq, bk] attention weights of one tile, fp32.
 
     q_blk/k_blk in input dtype (bf16 matmul, fp32 accumulation); lse_blk
     [bq, 1] fp32. Mirrors the forward logits exactly (scale, key-padding
     mask on the final block only, optional bias row).
+
+    ``single_kb``: the k grid has exactly one block, so the bias row is
+    loaded whole. This is a Mosaic requirement, not an optimization: with a
+    dynamic ``kb`` (program id / fori index) the lane offset ``kb*block_k``
+    of a partial load is only provably 128-aligned when block_k % 128 == 0,
+    which single-block panels (block_k = nk, e.g. the encoder's 32 keys)
+    violate — "cannot statically prove that index in dimension 2 is a
+    multiple of 128" at md17 stage-1 shapes, caught by the round-3
+    convergence run.
     """
     s = jax.lax.dot_general(
         q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -423,12 +432,16 @@ def _bwd_probs(q_blk, k_blk, lse_blk, bias_ref, kb, block_k, seq_len, scale,
         key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_idx < seq_len, s, _NEG_INF)
     if has_bias:
-        s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        if single_kb:
+            s = s + bias_ref[0, 0, :][None, :]
+        else:  # multi-block grids have block_k % 128 == 0 (see _flash_backward)
+            s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
     return jnp.exp(s - lse_blk)
 
 
 def _flash_bwd_kv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, *rest,
-                         scale, block_q, seq_len, has_bias, masked):
+                         scale, block_q, seq_len, has_bias, masked,
+                         single_kb=False):
     """One (bh, k-block) program: accumulate dK, dV over all query blocks.
 
     q/do_ref: [1, pq, d]; lse/delta_ref: [1, pq, 1] fp32; k/v_ref:
@@ -454,7 +467,7 @@ def _flash_bwd_kv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, *rest,
         lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q), :]
         delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q), :]
         p = _bwd_probs(q_blk, k, lse_blk, bias_ref, kb, block_k, seq_len,
-                       scale, has_bias, masked=masked)
+                       scale, has_bias, masked=masked, single_kb=single_kb)
         pb = p.astype(dtype)
         dv = dv + jax.lax.dot_general(
             pb, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -476,7 +489,7 @@ def _flash_bwd_kv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, *rest,
 
 
 def _flash_bwd_q_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, *rest,
-                        scale, block_k, seq_len, has_bias):
+                        scale, block_k, seq_len, has_bias, single_kb=False):
     """One (bh, q-block) program: accumulate dQ over all key blocks.
 
     q/do_ref: [1, block_q, d]; lse/delta_ref: [1, block_q, 1]; k/v_ref:
@@ -497,7 +510,7 @@ def _flash_bwd_q_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, *rest,
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         p = _bwd_probs(q, k_blk, lse, bias_ref, kb, block_k, seq_len,
-                       scale, has_bias, masked=masked)
+                       scale, has_bias, masked=masked, single_kb=single_kb)
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -566,7 +579,8 @@ def _flash_backward(q, k, v, bias, out, lse, g, scale, block_q=512, block_k=512)
         bias_specs = [pl.BlockSpec((1, 1, pk), lambda bh, i: (bh // h, 0, 0))]
 
     interpret = jax.default_backend() != "tpu"
-    common = dict(scale=scale, seq_len=nk, has_bias=has_bias)
+    common = dict(scale=scale, seq_len=nk, has_bias=has_bias,
+                  single_kb=pk // block_k == 1)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_kv_kernel, block_q=block_q,

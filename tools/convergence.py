@@ -61,6 +61,10 @@ def main():
             "--workspace", ws, "--run-id", "conv-md17-s1", "--no-mesh",
             "--epochs", str(args.md17_s1_epochs),
             "--set", "val_every_n_epochs=4",
+            # the default synthetic fallback (4000 frames) yields too few
+            # span-30 windows for the reference bs=256; ~90k raw frames fill
+            # the full 5000-window train split
+            "--exp-set", "synthetic_frames=90000",
         ])
 
         phase("md17 stage 2 (lineage, in-loop ADE/FDE hook, fp32 --test)")
@@ -69,7 +73,8 @@ def main():
             "--workspace", ws, "--run-id", "conv-md17-s2", "--no-mesh",
             "--first-stage-run", "conv-md17-s1",
             "--epochs", str(args.md17_s2_epochs),
-            "--set", "val_every_n_epochs=4", "--test",
+            "--set", "val_every_n_epochs=2", "--test",
+            "--exp-set", "synthetic_frames=90000",
         ])
 
     if not args.skip_peptide:
