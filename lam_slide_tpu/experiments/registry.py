@@ -183,7 +183,7 @@ def md17_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
 
 def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                       molecule="all", first_stage_run=None, dit_dtype=None,
-                      synthetic_frames=None, **_):
+                      synthetic_frames=None, batch_size=None, **_):
     from lam_slide_tpu.composites.md17 import (
         MD17FirstStageConfig, MD17SecondStageConfig, build_md17_first_stage,
         build_md17_second_stage,
@@ -214,7 +214,10 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         smoke, data_root, False, molecules, fs_cfg.num_entities, 30, MD17_SCALES,
         with_test=True, synthetic_frames=synthetic_frames,
     )
-    bs = 4 if smoke else 64
+    # reference bs=64 assumes an 80 GB training card; one 16 GB v5e fits
+    # bs<=32 for the full remat'd step (batch_size override, e.g. sweeps /
+    # tools/convergence.py) — multi-chip data parallelism restores 64+
+    bs = batch_size or (4 if smoke else 64)
     collate = functools.partial(pad_collate_temporal, num_entities=fs_cfg.num_entities)
     train_loader = Loader(_ConcatDataset(train_sets), bs, collate, seed=seed)
     val_loaders = {

@@ -30,6 +30,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate_state: bool = True,
     respect_committed: bool = False,
+    grad_accum: int = 1,
 ):
     """Build a jitted ``(state, batch, rng) -> (state, metrics)`` step.
 
@@ -37,6 +38,15 @@ def make_train_step(
     counter so every step (and every resume from a checkpoint) draws a
     deterministic, distinct stream — the reference leans on torch global RNG
     (SURVEY.md §7 hard part 6).
+
+    ``grad_accum > 1``: the batch is split into that many microbatches and
+    the forward+backward runs as a ``lax.scan`` over them, averaging grads
+    and metrics before ONE optimizer/EMA update — same optimization
+    trajectory as the full batch (per-microbatch mean losses average to the
+    full-batch mean for equal microbatch sizes), at 1/accum the activation
+    memory. This is how the reference's 80 GB-card batch sizes (e.g. MD17
+    stage-2 bs=64, measured 18.4 GB) fit one 16 GB v5e. The leading batch
+    axis of every batch leaf must divide by grad_accum.
 
     ``respect_committed=True`` (tensor parallelism, parallel/tp.py): no
     explicit in/out shardings are pinned — inputs keep their committed
@@ -50,10 +60,46 @@ def make_train_step(
     def _inner(params, ema_params, opt_state, step_ct, constants, batch, rng):
         rng = jax.random.fold_in(rng, step_ct)
 
-        def _loss(p):
-            return loss_fn(p, constants, batch, rng, True)
+        if grad_accum > 1:
+            micro = jax.tree.map(
+                lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum,
+                                    *x.shape[1:]), batch)
 
-        (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(params)
+            def body(carry, inp):
+                acc_grads, acc_loss, acc_metrics, i = carry
+                mb = inp
+
+                def _loss(p):
+                    return loss_fn(p, constants, mb,
+                                   jax.random.fold_in(rng, i), True)
+
+                (loss, metrics), grads = jax.value_and_grad(
+                    _loss, has_aux=True)(params)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree.map(jnp.add, acc_metrics, dict(metrics))
+                return (acc_grads, acc_loss + loss, acc_metrics, i + 1), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            # abstract-trace one microbatch for the metrics structure
+            metrics_shape = jax.eval_shape(
+                lambda p: loss_fn(p, constants,
+                                  jax.tree.map(lambda x: x[0], micro),
+                                  rng, True)[1], params)
+            zero_metrics = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
+            (grads, loss, metrics, _), _ = jax.lax.scan(
+                body, (zero_grads, jnp.zeros(()), dict(zero_metrics),
+                       jnp.int32(0)), micro)
+            inv = 1.0 / grad_accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss * inv
+            metrics = jax.tree.map(lambda m: m * inv, metrics)
+        else:
+            def _loss(p):
+                return loss_fn(p, constants, batch, rng, True)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                _loss, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if ema_params is not None:

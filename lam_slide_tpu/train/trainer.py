@@ -35,6 +35,7 @@ class TrainerConfig:
     weight_decay: float = 0.01
     ema_decay: Optional[float] = 0.999
     grad_clip: Optional[float] = None
+    grad_accum: int = 1  # microbatches per optimizer step (see steps.py)
     monitor: str = "loss"  # metric key within val metrics
     monitor_mode: str = "min"
     val_every_n_epochs: int = 1
@@ -144,7 +145,8 @@ class Trainer:
 
             state = shard_train_state(state, self.mesh)
         train_step = make_train_step(self.loss_fn, tx, ema_decay=cfg.ema_decay,
-                                     mesh=self.mesh, respect_committed=tp)
+                                     mesh=self.mesh, respect_committed=tp,
+                                     grad_accum=cfg.grad_accum)
         eval_step = make_eval_step(self.loss_fn, mesh=self.mesh,
                                    respect_committed=tp)
         rng = jax.random.PRNGKey(cfg.seed)

@@ -329,3 +329,57 @@ def test_cli_test_only_from_checkpoint(tmp_path, monkeypatch):
     assert rc == 0
     retested = json.load(open(tmp_path / "ws" / "s2" / "test_metrics.json"))
     assert np.isfinite(retested["test/rebound/ade"])
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=N must follow the same optimization trajectory as the full
+    batch (per-microbatch mean losses average to the full-batch mean): same
+    params after several steps, at 1/N the activation memory."""
+    from lam_slide_tpu.train.steps import make_train_step
+
+    model, _, _, batch, loss_fn = _setup()
+    variables = model.init(jax.random.PRNGKey(0), batch["x"])
+    tx = optax.adamw(1e-2)
+    rng = jax.random.PRNGKey(5)
+
+    results = {}
+    for accum in (1, 4):
+        state = create_train_state(
+            {"params": jax.tree.map(jnp.copy, variables["params"])}, tx,
+            ema=True)
+        step = make_train_step(loss_fn, tx, ema_decay=0.99, grad_accum=accum)
+        for _ in range(5):
+            state, metrics = step(state, batch, rng)
+        results[accum] = (state, metrics)
+    s1, m1 = results[1]
+    s4, m4 = results[4]
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.ema_params), jax.tree.leaves(s4.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grad_accum_through_trainer(tmp_path):
+    """TrainerConfig.grad_accum wires through fit() and still learns."""
+    from lam_slide_tpu.train.trainer import Trainer, TrainerConfig
+
+    model, _, _, batch, loss_fn = _setup()
+    variables = model.init(jax.random.PRNGKey(0), batch["x"])
+
+    class L:
+        def __len__(self):
+            return 3
+
+        def __iter__(self):
+            for _ in range(3):
+                yield batch
+
+    cfg = TrainerConfig(max_epochs=20, lr=1e-2, grad_accum=4,
+                        val_every_n_epochs=100)
+    trainer = Trainer(cfg, loss_fn, str(tmp_path / "run"), quiet=True)
+    trainer.fit(variables, L())
+    import json
+    recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    losses = [r["train/loss"] for r in recs if r.get("split") == "train"]
+    assert losses[-1] < losses[0] * 0.2

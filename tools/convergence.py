@@ -41,7 +41,7 @@ def phase(name):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workspace", default="runs/convergence")
-    p.add_argument("--md17-s1-epochs", type=int, default=40)
+    p.add_argument("--md17-s1-epochs", type=int, default=120)
     p.add_argument("--md17-s2-epochs", type=int, default=16)
     p.add_argument("--pep-s1-epochs", type=int, default=800)
     p.add_argument("--pep-s2-epochs", type=int, default=400)
@@ -75,6 +75,9 @@ def main():
             "--epochs", str(args.md17_s2_epochs),
             "--set", "val_every_n_epochs=2", "--test",
             "--exp-set", "synthetic_frames=90000",
+            # one 16 GB v5e fits the full remat'd md17 s2 step at bs<=32
+            # (reference bs=64 assumes an 80 GB card; measured OOM 18.4 GB)
+            "--exp-set", "batch_size=32",
         ])
 
     if not args.skip_peptide:
