@@ -51,6 +51,7 @@ _SLOW_TESTS = {
     "test_train.py::test_cli_test_protocol_fp32_on_test_split",
     "test_second_stage.py::test_second_stage_train_and_grads_skip_first_stage",
     "test_second_stage.py::test_class_conditional_and_k_sampling",
+    "test_second_stage.py::test_k_chunk_matches_vmapped",
     "test_protein_io.py::test_md17_protocol_on_mesh_matches_single_device",
     "test_protein_io.py::test_md17_test_protocol_runner",
     "test_analysis.py::test_sampling_hook",

@@ -212,9 +212,16 @@ class SecondStage:
 
         return sample
 
-    def make_k_sample_fn(self, k: int, **kwargs):
+    def make_k_sample_fn(self, k: int, k_chunk: int = None, **kwargs):
         """K-repeat sampling as a vmapped axis (replaces the reference's
         Python ``for _ in range(K)`` loops, e.g. second_stage/md17.py:160).
+
+        ``k_chunk``: vmap only that many repeats at a time and lax.map over
+        the chunks — K stops multiplying activation memory. ``k_chunk=1``
+        reproduces the reference loop's memory profile exactly; the fp32
+        single-device test pass needs it (the vmapped K=5 MD17 protocol
+        allocates K x [B·T, H, 192, dh] fp32 attention panels, measured
+        29.2 GB vs 15.75 GB HBM on one v5e). Must divide k.
 
         Returns sample_k(params, fs_variables, batch, rng) -> dict of
         [K, B, T, ...] arrays.
@@ -223,6 +230,13 @@ class SecondStage:
 
         def sample_k(params, fs_variables, batch, rng):
             keys = jax.random.split(rng, k)
-            return jax.vmap(lambda key: sample(params, fs_variables, batch, key))(keys)
+            one = lambda key: sample(params, fs_variables, batch, key)
+            if k_chunk is None or k_chunk >= k:
+                return jax.vmap(one)(keys)
+            if k % k_chunk:
+                raise ValueError(f"k_chunk {k_chunk} must divide k {k}")
+            chunked = keys.reshape(k // k_chunk, k_chunk, *keys.shape[1:])
+            out = jax.lax.map(lambda kk: jax.vmap(one)(kk), chunked)
+            return jax.tree.map(lambda x: x.reshape(k, *x.shape[2:]), out)
 
         return sample_k

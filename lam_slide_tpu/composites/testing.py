@@ -70,13 +70,14 @@ def evaluate_md17(
     rng: Optional[jax.Array] = None,
     sampling_kwargs: Optional[dict] = None,
     mesh=None,
+    k_chunk: Optional[int] = None,
 ) -> Dict[str, float]:
     """-> {"test/<molecule>/ade": ..., "test/<molecule>/fde": ...}."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     params, fs_variables = _replicate_if_mesh(params, fs_variables, mesh)
     cond_end = ss.cond_idx[1]
     sample_k = jax.jit(
-        ss.make_k_sample_fn(k=k, sampling_method="ODE",
+        ss.make_k_sample_fn(k=k, k_chunk=k_chunk, sampling_method="ODE",
                             sampling_kwargs=sampling_kwargs or
                             {"sampling_method": "euler", "num_steps": 10})
     )
@@ -111,6 +112,7 @@ def evaluate_min_k(
     sampling_kwargs: Optional[dict] = None,
     pos_key: str = "pos",
     mesh=None,
+    k_chunk: Optional[int] = None,
 ) -> Dict[str, float]:
     """Pedestrian/NBA protocol -> test/<scene>/{ade,fde}[,_post]."""
     if k < num_runs:
@@ -119,7 +121,7 @@ def evaluate_min_k(
     params, fs_variables = _replicate_if_mesh(params, fs_variables, mesh)
     cond_end = ss.cond_idx[1]
     sample_k = jax.jit(
-        ss.make_k_sample_fn(k=k, sampling_method="ODE",
+        ss.make_k_sample_fn(k=k, k_chunk=k_chunk, sampling_method="ODE",
                             sampling_kwargs=sampling_kwargs or
                             {"sampling_method": "euler", "num_steps": 10})
     )

@@ -274,13 +274,15 @@ def _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir, molecule):
     if exp.meta["domain"] == "md17":
         from lam_slide_tpu.experiments.registry import MD17_SCALES
 
+        # k_chunk=1: sequential K repeats (the reference's own Python-loop
+        # memory profile) — the vmapped K=5 fp32 protocol OOMs one v5e
         metrics = evaluate_md17(model, params, fs_vars, loaders,
-                                scale=MD17_SCALES[molecule], k=k,
+                                scale=MD17_SCALES[molecule], k=k, k_chunk=1,
                                 mesh=mesh if args.test_mesh else None)
     elif exp.meta["domain"] in ("pedestrian", "nba"):
         num_runs = min(int(cfg.get("num_runs", k)), k)
         metrics = evaluate_min_k(model, params, fs_vars, loaders,
-                                 k=k, num_runs=num_runs,
+                                 k=k, num_runs=num_runs, k_chunk=1,
                                  post_process=bool(cfg.get("post_process", False)),
                                  mesh=mesh if args.test_mesh else None)
     else:

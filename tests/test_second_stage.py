@@ -168,3 +168,29 @@ def test_masked_ade_fde_ignores_padding():
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
     np.testing.assert_allclose(np.asarray(a1), np.sqrt(3.0), rtol=1e-6)
+
+
+def test_k_chunk_matches_vmapped():
+    """make_k_sample_fn(k_chunk=1) must produce the same K samples as the
+    vmapped form — only the memory profile differs (sequential lax.map; the
+    fp32 test protocol's OOM fix)."""
+    import jax
+    import numpy as np
+
+    cfg2, ss, fs_vars, batch = _ss()
+    x1, mk = ss.prepare_batch(fs_vars, batch)
+    params = ss.backbone.init(
+        jax.random.PRNGKey(1), x1, jnp.zeros((4,)), mk["x_cond"],
+        mk["x_cond_mask"])["params"]
+    rng = jax.random.PRNGKey(3)
+    full = ss.make_k_sample_fn(k=4, sampling_method="ODE",
+                               sampling_kwargs={"sampling_method": "euler",
+                                                "num_steps": 3})
+    seq = ss.make_k_sample_fn(k=4, k_chunk=1, sampling_method="ODE",
+                              sampling_kwargs={"sampling_method": "euler",
+                                               "num_steps": 3})
+    a = full(params, fs_vars, batch, rng)
+    b = seq(params, fs_vars, batch, rng)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                    atol=1e-5)
