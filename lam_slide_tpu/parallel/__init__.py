@@ -5,6 +5,10 @@ from lam_slide_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from lam_slide_tpu.parallel.fsdp import (
+    shard_train_state_fsdp,
+    tree_fsdp_shardings,
+)
 from lam_slide_tpu.parallel.ring_attention import (
     ring_attention,
     sequence_parallel_attention,
@@ -23,5 +27,7 @@ __all__ = [
     "sequence_parallel_attention",
     "shard_batch",
     "shard_train_state",
+    "shard_train_state_fsdp",
+    "tree_fsdp_shardings",
     "tree_tp_shardings",
 ]

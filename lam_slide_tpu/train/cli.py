@@ -38,6 +38,12 @@ def main(argv=None):
              "matmuls shard column/row-parallel over 'model'",
     )
     parser.add_argument(
+        "--fsdp", action="store_true",
+        help="fully-sharded data parallelism (parallel/fsdp.py): params/EMA/"
+             "optimizer moments shard over the data axis (ZeRO-3 layout) — "
+             "per-chip state memory scales 1/N",
+    )
+    parser.add_argument(
         "--devices", type=int, default=None,
         help="force N virtual CPU devices (sharding debug; sets XLA flags before jax import)",
     )
@@ -175,6 +181,8 @@ def main(argv=None):
     )
     if args.epochs is not None:
         exp.trainer_cfg.max_epochs = args.epochs
+    if args.fsdp:
+        exp.trainer_cfg.fsdp = True
     for item in args.overrides:
         key, _, raw = item.partition("=")
         if not hasattr(exp.trainer_cfg, key):

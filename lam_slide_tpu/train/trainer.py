@@ -46,6 +46,10 @@ class TrainerConfig:
     ckpt_every_n_epochs: int = 1
     limit_val_batches: int = 0  # 0 = all (reference limit_val_batches)
     log_every_steps: int = 50
+    # Fully-sharded data parallelism (parallel/fsdp.py): shard params, EMA
+    # and optimizer moments over the data axis (ZeRO-3 layout) instead of
+    # replicating them. Needs a mesh.
+    fsdp: bool = False
     seed: int = 0
 
 
@@ -145,15 +149,25 @@ class Trainer:
         # committed layouts instead of pinning replicated params (sharding
         # happens after a possible resume so restored arrays get laid out).
         tp = self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1
+        fsdp = cfg.fsdp and self.mesh is not None
+        if tp and fsdp:
+            raise ValueError("fsdp composes with the data axis only; "
+                             "use either --model-axis or fsdp")
         if tp:
             from lam_slide_tpu.parallel import shard_train_state
 
             state = shard_train_state(state, self.mesh)
+        elif fsdp:
+            from lam_slide_tpu.parallel import shard_train_state_fsdp
+
+            state = shard_train_state_fsdp(state, self.mesh)
+        committed = tp or fsdp
         train_step = make_train_step(self.loss_fn, tx, ema_decay=cfg.ema_decay,
-                                     mesh=self.mesh, respect_committed=tp,
+                                     mesh=self.mesh,
+                                     respect_committed=committed,
                                      grad_accum=cfg.grad_accum)
         eval_step = make_eval_step(self.loss_fn, mesh=self.mesh,
-                                   respect_committed=tp)
+                                   respect_committed=committed)
         rng = jax.random.PRNGKey(cfg.seed)
         n_params = param_count(state.params)
         if not self.quiet:
