@@ -367,7 +367,7 @@ def _flash_forward_packed(q, k, v, num_heads, scale, with_lse=False):
 
     grp = _PACKED_GROUP
     out_shapes = [jax.ShapeDtypeStruct((b, nq, h, d), q.dtype)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     scratch = [
         pltpu.VMEM((2, nq, grp, d), q.dtype),   # q group slots
         pltpu.VMEM((2, nk, grp, d), k.dtype),   # k group slots
@@ -379,7 +379,7 @@ def _flash_forward_packed(q, k, v, num_heads, scale, with_lse=False):
     kwargs = dict(scale=scale, num_heads=h, with_lse=with_lse)
     if with_lse:
         out_shapes.append(jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         # lse slots sit before the semaphores (kernel signature order)
         scratch.insert(4, pltpu.VMEM((2, grp, nq, 1), jnp.float32))
 
@@ -397,7 +397,7 @@ def _flash_forward_packed(q, k, v, num_heads, scale, with_lse=False):
     res = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=jax.default_backend() != "tpu",

@@ -60,7 +60,7 @@ _CATEGORIES = (
 )
 
 
-def summarize(out_dir: str, top: int = 25) -> None:
+def summarize(out_dir: str, top: int = 25, by_source: bool = False) -> None:
     files = sorted(glob.glob(os.path.join(
         out_dir, "**", "*.trace.json.gz"), recursive=True))
     if not files:
@@ -119,6 +119,27 @@ def summarize(out_dir: str, top: int = 25) -> None:
                        for k, v in sorted(per_op.items(),
                                           key=lambda kv: -kv[1])[:top]},
     }
+    if by_source:
+        # Per-op events carry the emitting python source line in their args.
+        # `while` wrapper events are excluded: on the TPU track they cover
+        # their body ops, so summing both double-counts (scan/remat bodies).
+        by_src = {}
+        for e in events:
+            key = (e.get("pid"), e.get("tid"))
+            if (e.get("ph") != "X" or e.get("pid") not in tpu_pids
+                    or (op_tids and key not in op_tids)
+                    or str(e.get("name", "")).startswith("while")):
+                continue
+            dur = float(e.get("dur", 0.0))
+            if dur <= 0:
+                continue
+            src = str(e.get("args", {}).get("source", "<none>"))
+            by_src[src] = by_src.get(src, 0.0) + dur
+        out["by_source_ms"] = {
+            k: round(v / 1e3, 3)
+            for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]}
+        out["device_total_ex_while_ms"] = round(
+            sum(by_src.values()) / 1e3, 3)
     print(json.dumps(out))
 
 
