@@ -119,6 +119,15 @@ def dot_product_attention_packed(
         from lam_slide_tpu.ops.flash_attention import flash_attention_packed
 
         return flash_attention_packed(q, k, v, num_heads, mask=mask, scale=scale)
+    if backend == "short":
+        # Grouped VMEM-resident kernel for short unmasked self-attention
+        # axes (ops/short_attention.py); masked calls have no short path.
+        if mask is not None:
+            return dot_product_attention_packed(
+                q, k, v, num_heads, mask=mask, scale=scale, backend="xla")
+        from lam_slide_tpu.ops.short_attention import short_attention
+
+        return short_attention(q, k, v, num_heads, scale=scale)
     to_heads = lambda t: t.reshape(b, -1, num_heads, dh).transpose(0, 2, 1, 3)
     out = xla_attention(to_heads(q), to_heads(k), to_heads(v), mask=mask,
                         scale=scale)

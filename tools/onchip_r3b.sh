@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# Round-3 late-session on-chip queue: short-attention A/B + re-attribution.
+# Same heal-window discipline as onchip_resilient.sh (probe-gated steps,
+# done-markers, free retries on tunnel-flavored failures).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/onchip
+echo $$ > /tmp/onchip/r3b.pid
+LOGDIR=/tmp/onchip
+WATCH=$LOGDIR/r3b.log
+note() { echo "$(date -u +%H:%M:%S) $*" >> "$WATCH"; }
+
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/lam_slide_jax_cache}
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
+
+probe() {
+  timeout 90 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+print(float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))))
+EOF
+}
+
+wait_for_heal() {
+  local i
+  for i in $(seq 1 400); do
+    if probe; then note "heal detected (probe $i)"; return 0; fi
+    note "wedged (probe $i)"
+    sleep 140
+  done
+  return 1
+}
+
+run_step() { # name timeout cmd...
+  local name=$1 to=$2; shift 2
+  [ -e "$LOGDIR/$name.ok" ] && { note "$name: already done, skip"; return 0; }
+  local attempts
+  attempts=$(cat "$LOGDIR/$name.attempts" 2>/dev/null || echo 0)
+  if [ "$attempts" -ge 5 ]; then note "$name: attempt cap reached, skip"; return 0; fi
+  wait_for_heal || return 1
+  note "$name: start (timeout ${to}s, attempt $((attempts + 1)))"
+  timeout "$to" "$@" > "$LOGDIR/$name.log" 2> "$LOGDIR/$name.err"
+  local rc=$?
+  if [ "$rc" -eq 0 ] && [ -s "$LOGDIR/$name.log" ] \
+      && ! grep -q tpu_unavailable "$LOGDIR/$name.log" \
+      && ! grep -Eq '"status": "(timeout|failed)' "$LOGDIR/$name.log"; then
+    touch "$LOGDIR/$name.ok"
+    note "$name: OK"
+  elif [ "$rc" -eq 124 ] || grep -Eq 'tpu_unavailable|"status": "timeout' \
+      "$LOGDIR/$name.log" 2>/dev/null; then
+    note "$name: wedged mid-run rc=$rc (free retry next heal)"
+  else
+    echo $((attempts + 1)) > "$LOGDIR/$name.attempts"
+    note "$name: failed rc=$rc (attempt $((attempts + 1))/5, retry next heal)"
+  fi
+  return 0
+}
+
+one_pass() {
+  run_step short_attn_ab 2400 python tools/measure_short_attention.py
+}
+
+one_pass
+for pass in 2 3; do
+  note "retry pass $pass"
+  one_pass
+done
+note "r3b queue done"
