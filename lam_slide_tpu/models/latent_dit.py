@@ -238,6 +238,52 @@ class ParallelMLPAttention(nn.Module):
                 xd, w1[:, lo:hi], (((xd.ndim - 1,), (0,)), ((), ()))
             ) + b1[lo:hi]
 
+        emit_hm = (self.attention_mode != "linear"
+                   and n > self.packed_threshold and cos is not None
+                   and xd.ndim == 3
+                   and os.environ.get("LAM_SLIDE_EMIT_HEADMAJOR") == "1")
+        if emit_hm:
+            # A/B knob (VERDICT r2 levers a+b): linear1 EMITS head-major
+            # q/k/v — the 3D-weight einsum asks the dot itself to produce
+            # [B, H, n, dh], so the head transpose can ride the matmul's
+            # output write instead of running as a standalone relayout
+            # pass; symmetrically the output transpose folds into
+            # linear2's (h, dh) double contraction. QKNorm/RoPE run as
+            # head-major elementwise ops (same math to the same fp32
+            # rounding points as the packed forms — pinned in
+            # tests/test_packed_attention.py).
+            from lam_slide_tpu.ops.packed_attention import (
+                headmajor_rmsnorm,
+                headmajor_rope,
+            )
+
+            din = xd.shape[-1]
+            w1h = w1[:, : 3 * d].reshape(din, 3, h, dh)
+            b1h = b1[: 3 * d].reshape(3, h, dh)
+
+            def projh(i):
+                return (jnp.einsum("bnd,dhe->bhne", xd, w1h[:, i])
+                        + b1h[i][None, :, None, :])
+
+            qh = headmajor_rope(headmajor_rmsnorm(projh(0), q_scale), cos, sin)
+            kh = headmajor_rope(headmajor_rmsnorm(projh(1), k_scale), cos, sin)
+            vh = projh(2)
+            ah = dot_product_attention(
+                qh, kh, vh, scale=self.qk_scale, backend=self.backend
+            )
+            mlp = proj(3 * d, 3 * d + mlp_hidden)
+            w2 = w2_raw.astype(self.dtype)
+            gmlp = nn.gelu(mlp, approximate=False)
+            out32 = jax.lax.dot_general(
+                ah, w2[:d].reshape(h, dh, d),
+                (((1, 3), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                gmlp, w2[d:], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out32.astype(self.dtype) + b2_raw.astype(self.dtype)
+
         q = proj(0, d)
         k = proj(d, 2 * d)
         v = proj(2 * d, 3 * d)

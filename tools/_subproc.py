@@ -21,6 +21,8 @@ KNOBS = (
     "LAM_SLIDE_NO_FLASH_BWD",
     "LAM_SLIDE_HEADMAJOR_NORMROPE",
     "LAM_SLIDE_KERNEL_NORMROPE",
+    "LAM_SLIDE_EMIT_HEADMAJOR",
+    "LAM_SLIDE_NO_PACKED_FLASH",
 )
 
 

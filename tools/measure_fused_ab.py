@@ -48,6 +48,10 @@ ARMS = {
     # QKNorm/RoPE fused INTO the flash kernel's panel loads — the raw
     # head-major q/k feed the kernel directly (ops/flash_normrope.py).
     "kernel_normrope": {"LAM_SLIDE_KERNEL_NORMROPE": "1"},
+    # linear1 emits head-major q/k/v (3D-weight einsum: the head transpose
+    # rides the matmul's output write) and linear2 contracts the 4D attn
+    # directly — VERDICT r2 levers (a)+(b).
+    "emit_headmajor": {"LAM_SLIDE_EMIT_HEADMAJOR": "1"},
 }
 
 

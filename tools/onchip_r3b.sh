@@ -57,6 +57,8 @@ run_step() { # name timeout cmd...
 
 one_pass() {
   run_step short_attn_ab 2400 python tools/measure_short_attention.py
+  run_step emit_hm_ab 2700 python tools/measure_fused_ab.py \
+    --arms unfused,emit_headmajor
 }
 
 one_pass
