@@ -3,7 +3,7 @@
 # Same heal-window discipline as onchip_resilient.sh (probe-gated steps,
 # done-markers, free retries on tunnel-flavored failures).
 set -u
-cd "$(dirname "$0")/.."
+cd "${LAM_SLIDE_REPO:-$(dirname "$0")/..}"
 mkdir -p /tmp/onchip
 echo $$ > /tmp/onchip/r3b.pid
 LOGDIR=/tmp/onchip
@@ -56,6 +56,12 @@ run_step() { # name timeout cmd...
 }
 
 one_pass() {
+  # The r02 sweep falls monotonically from B=8 up and never looked below:
+  # the headline takes the best batch, so a sub-8 sweep is potentially
+  # free headline gain.
+  run_step bench_small 1800 env LAM_SLIDE_BENCH_SWEEP=1,2,4,6,8 \
+    LAM_SLIDE_BENCH_NO_DOPRI5=1 LAM_SLIDE_BENCH_WORKER_TIMEOUT=900 \
+    python bench.py
   run_step short_attn_ab 2400 python tools/measure_short_attention.py
   run_step emit_hm_ab 2700 python tools/measure_fused_ab.py \
     --arms unfused,emit_headmajor
