@@ -132,6 +132,12 @@ def make_train_step(
         )
         return new_state, metrics
 
+    # The raw (unjitted) step body, exposed for measurement harnesses that
+    # must chain steps in-graph with lax.scan: over the tunneled TPU each
+    # dispatch+readback costs ~27 ms wall, which swamps sub-10 ms steps
+    # (docs/PERF.md measurement discipline) — only an in-graph chain
+    # measures those honestly.
+    step.inner = _inner
     return step
 
 

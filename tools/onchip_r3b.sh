@@ -65,6 +65,9 @@ one_pass() {
   run_step short_attn_ab 2400 python tools/measure_short_attention.py
   run_step emit_hm_ab 2700 python tools/measure_fused_ab.py \
     --arms unfused,emit_headmajor
+  # Stage-1 train steps at full width (never measured; the reference
+  # spends most of its epoch budget here).
+  run_step stage1_steps 2700 python tools/measure_stage_steps.py
 }
 
 one_pass
