@@ -114,7 +114,7 @@ def dot_product_attention_packed(
     b, n, d_all = q.shape
     dh = d_all // num_heads
     if backend == "auto":
-        backend = _pick_backend_packed(q, mask)
+        backend = _pick_backend_packed(q, k, mask)
     if backend == "pallas":
         from lam_slide_tpu.ops.flash_attention import flash_attention_packed
 
@@ -134,7 +134,8 @@ def dot_product_attention_packed(
     return out.transpose(0, 2, 1, 3).reshape(b, n, d_all)
 
 
-def _pick_backend_packed(q: jnp.ndarray, mask: Optional[jnp.ndarray]) -> str:
+def _pick_backend_packed(q: jnp.ndarray, k: jnp.ndarray,
+                         mask: Optional[jnp.ndarray]) -> str:
     """Mirror of ``_pick_backend`` for packed [B, N, H·dh] operands."""
     forced = FORCE_BACKEND or os.environ.get("LAM_SLIDE_ATTN_BACKEND")
     if forced:
@@ -143,6 +144,13 @@ def _pick_backend_packed(q: jnp.ndarray, mask: Optional[jnp.ndarray]) -> str:
     rank4_mask = mask is not None and mask.ndim == 4
     if on_tpu and q.shape[1] >= 128 and not rank4_mask:
         return "pallas"
+    # Short unmasked self-attention axes (the stage-2 temporal axis for
+    # MD17/pedestrian/NBA): grouped VMEM-resident kernel — A/B-gated until
+    # the on-chip number lands (tools/measure_short_attention.py).
+    if (on_tpu and mask is None and 8 < q.shape[1] < 128
+            and k is not None and q.shape == k.shape
+            and os.environ.get("LAM_SLIDE_SHORT_ATTN") == "1"):
+        return "short"
     return "xla"
 
 

@@ -117,4 +117,13 @@ class TestDispatch:
         from lam_slide_tpu.ops.attention import _pick_backend_packed
 
         q = jnp.zeros((4, 30, 256))
-        assert _pick_backend_packed(q, None) == "xla"
+        assert _pick_backend_packed(q, q, None) == "xla"
+
+    def test_auto_pick_knob_requires_tpu(self, monkeypatch):
+        # LAM_SLIDE_SHORT_ATTN only engages on a real TPU backend; on CPU
+        # the pick must stay xla even with the knob set.
+        from lam_slide_tpu.ops.attention import _pick_backend_packed
+
+        monkeypatch.setenv("LAM_SLIDE_SHORT_ATTN", "1")
+        q = jnp.zeros((4, 30, 256))
+        assert _pick_backend_packed(q, q, None) == "xla"

@@ -23,6 +23,7 @@ KNOBS = (
     "LAM_SLIDE_KERNEL_NORMROPE",
     "LAM_SLIDE_EMIT_HEADMAJOR",
     "LAM_SLIDE_NO_PACKED_FLASH",
+    "LAM_SLIDE_SHORT_ATTN",
 )
 
 

@@ -68,6 +68,8 @@ one_pass() {
   # Stage-1 train steps at full width (never measured; the reference
   # spends most of its epoch budget here).
   run_step stage1_steps 2700 python tools/measure_stage_steps.py
+  # MD17 s2 train-step A/B: short-attention kernel on the temporal axis.
+  run_step md17_short_ab 3600 python tools/measure_md17_short_ab.py
 }
 
 one_pass
