@@ -70,6 +70,10 @@ one_pass() {
   run_step stage1_steps 2700 python tools/measure_stage_steps.py
   # MD17 s2 train-step A/B: short-attention kernel on the temporal axis.
   run_step md17_short_ab 3600 python tools/measure_md17_short_ab.py
+  # Where does the per-eval cost grow superlinearly in B? Trace the
+  # measured-best batch for comparison against the committed B=8 table.
+  run_step trace_b2 1500 python tools/capture_trace.py --batch 2 \
+    --out /tmp/dit_trace_b2
 }
 
 one_pass
