@@ -1,0 +1,88 @@
+#!/usr/bin/env bash
+# Round-3 final on-chip queue, re-prioritized for a short session budget
+# (~45 min): the driver re-runs `python bench.py` cold at round end (the
+# /tmp compile cache was wiped with the session restart), so step 1 runs
+# the FULL default bench — it lands a fresh headline AND warms exactly
+# the cache entries the driver's run needs (all sweep points + dopri5).
+# Then the two default-flip candidates: emit_headmajor at the headline
+# batch (B=2) and at B=8 (comparable to the committed table), and the
+# MD17 short-attention train-step A/B. Lower-value steps (stage-1 widths,
+# B=2 trace) run only if time remains.
+#
+# Same heal-window discipline as onchip_resilient.sh: probe-gated steps,
+# done-markers, free retries on tunnel-flavored failures.
+set -u
+cd "${LAM_SLIDE_REPO:-$(dirname "$0")/..}"
+mkdir -p /tmp/onchip
+# The session watchdog kills the pid in r3b.pid at its deadline — reuse
+# that slot so this runner is covered by the same bound.
+echo $$ > /tmp/onchip/r3b.pid
+LOGDIR=/tmp/onchip
+WATCH=$LOGDIR/r3c.log
+note() { echo "$(date -u +%H:%M:%S) $*" >> "$WATCH"; }
+
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/lam_slide_jax_cache}
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
+
+probe() {
+  timeout 90 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+print(float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))))
+EOF
+}
+
+wait_for_heal() {
+  local i
+  for i in $(seq 1 400); do
+    if probe; then note "heal detected (probe $i)"; return 0; fi
+    note "wedged (probe $i)"
+    sleep 100
+  done
+  return 1
+}
+
+run_step() { # name timeout cmd...
+  local name=$1 to=$2; shift 2
+  [ -e "$LOGDIR/$name.ok" ] && { note "$name: already done, skip"; return 0; }
+  local attempts
+  attempts=$(cat "$LOGDIR/$name.attempts" 2>/dev/null || echo 0)
+  if [ "$attempts" -ge 5 ]; then note "$name: attempt cap reached, skip"; return 0; fi
+  wait_for_heal || return 1
+  note "$name: start (timeout ${to}s, attempt $((attempts + 1)))"
+  timeout "$to" "$@" > "$LOGDIR/$name.log" 2> "$LOGDIR/$name.err"
+  local rc=$?
+  if [ "$rc" -eq 0 ] && [ -s "$LOGDIR/$name.log" ] \
+      && ! grep -q tpu_unavailable "$LOGDIR/$name.log" \
+      && ! grep -Eq '"status": "(timeout|failed)' "$LOGDIR/$name.log"; then
+    touch "$LOGDIR/$name.ok"
+    note "$name: OK"
+  elif [ "$rc" -eq 124 ] || grep -Eq 'tpu_unavailable|"status": "timeout' \
+      "$LOGDIR/$name.log" 2>/dev/null; then
+    note "$name: wedged mid-run rc=$rc (free retry next heal)"
+  else
+    echo $((attempts + 1)) > "$LOGDIR/$name.attempts"
+    note "$name: failed rc=$rc (attempt $((attempts + 1))/5, retry next heal)"
+  fi
+  return 0
+}
+
+one_pass() {
+  run_step bench_warm 3000 env LAM_SLIDE_BENCH_WORKER_TIMEOUT=2700 \
+    python bench.py
+  run_step emit_hm_b2 2700 python tools/measure_fused_ab.py \
+    --arms unfused,emit_headmajor --batch 2
+  run_step emit_hm_b8 2700 python tools/measure_fused_ab.py \
+    --arms unfused,emit_headmajor --batch 8
+  run_step md17_short_ab 3600 python tools/measure_md17_short_ab.py
+  run_step short_attn_ab 2400 python tools/measure_short_attention.py
+  run_step stage1_steps 2700 python tools/measure_stage_steps.py
+  run_step trace_b2 1500 python tools/capture_trace.py --batch 2 \
+    --out /tmp/dit_trace_b2
+}
+
+one_pass
+for pass in 2 3; do
+  note "retry pass $pass"
+  one_pass
+done
+note "r3c queue done"
