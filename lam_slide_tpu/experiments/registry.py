@@ -75,7 +75,19 @@ def load_checkpoint_raw(run_dir: str, which: str = "best") -> dict:
         else:
             raise FileNotFoundError(f"no '{which}' checkpoint under "
                                     f"{run_dir}/checkpoints")
-    return ocp.StandardCheckpointer().restore(path)
+    try:
+        return ocp.StandardCheckpointer().restore(path)
+    except ValueError:
+        # Cross-device restore (e.g. a checkpoint written by the CPU-side
+        # torch importer read in a TPU process): the saved sharding metadata
+        # names devices that don't exist here. Restore leaves as host numpy
+        # arrays instead — callers device_put on first use anyway.
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path)
+        tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(path, restore_args=restore_args)
 
 
 def load_first_stage_variables(workspace: str, run_id: str, which: str = "best") -> dict:
