@@ -89,6 +89,16 @@ def main(argv=None):
         "--test-ckpt", choices=("last", "best"), default="last",
         help="which checkpoint --test-only restores (src/train.py test_ckpt)",
     )
+    parser.add_argument(
+        "--tensorboard", action="store_true",
+        help="mirror the metric stream into TensorBoard event files under "
+             "<run_dir>/tb (train/sinks.py; the configs/logger surface)",
+    )
+    parser.add_argument(
+        "--wandb-project", default=None,
+        help="mirror the metric stream to a wandb run (requires the wandb "
+             "package; configs/logger/wandb.yaml equivalent)",
+    )
     args = parser.parse_args(argv)
 
     if args.devices:
@@ -231,8 +241,17 @@ def main(argv=None):
             "exp_overrides": exp_kwargs,
         },
     })
+    sinks = []
+    if args.tensorboard:
+        from lam_slide_tpu.train.sinks import TensorBoardSink
+
+        sinks.append(TensorBoardSink(os.path.join(run_dir, "tb")))
+    if args.wandb_project:
+        from lam_slide_tpu.train.sinks import WandbSink
+
+        sinks.append(WandbSink(project=args.wandb_project, name=run_id))
     trainer = Trainer(exp.trainer_cfg, exp.loss_fn, run_dir, mesh=mesh,
-                      eval_fns=exp.eval_fns)
+                      eval_fns=exp.eval_fns, sinks=sinks)
     state = trainer.fit(exp.variables, exp.train_loader, exp.val_loaders, resume=args.resume)
 
     if args.test:

@@ -68,13 +68,21 @@ def make_optimizer(cfg: TrainerConfig, steps_per_epoch: int):
 
 
 class MetricLogger:
-    """JSONL + stdout metric stream (the wandb-logger stand-in)."""
+    """JSONL + stdout metric stream (the wandb-logger stand-in), fanning every
+    record out to pluggable ``MetricSink``s (train/sinks.py) — the interface
+    a user points at wandb/TensorBoard (reference configs/logger/wandb.yaml,
+    src/utils/logging_utils.py:12-65)."""
 
-    def __init__(self, run_dir: str, quiet: bool = False):
+    def __init__(self, run_dir: str, quiet: bool = False, sinks=()):
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
         self.quiet = quiet
+        self.sinks = list(sinks)
+
+    def log_hparams(self, hparams: Dict[str, Any]):
+        for sink in self.sinks:
+            sink.log_hparams(hparams)
 
     def log(self, record: Dict[str, Any]):
         if self._f.closed:  # fit() reuse after a close (multirun sweeps)
@@ -85,12 +93,16 @@ class MetricLogger:
         }
         self._f.write(json.dumps(record) + "\n")
         self._f.flush()
+        for sink in self.sinks:
+            sink.log(record)
         if not self.quiet:
             parts = [f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()]
             print("  " + " ".join(parts), flush=True)
 
     def close(self):
         self._f.close()
+        for sink in self.sinks:
+            sink.close()
 
 
 def _mean_metrics(acc: Dict[str, list]) -> Dict[str, float]:
@@ -108,13 +120,14 @@ class Trainer:
         mesh=None,
         eval_fns: Optional[Mapping[str, Callable]] = None,
         quiet: bool = False,
+        sinks=(),
     ):
         self.cfg = cfg
         self.loss_fn = loss_fn
         self.run_dir = os.path.abspath(run_dir)
         self.mesh = mesh
         self.eval_fns = dict(eval_fns or {})
-        self.logger = MetricLogger(self.run_dir, quiet=quiet)
+        self.logger = MetricLogger(self.run_dir, quiet=quiet, sinks=sinks)
         self.quiet = quiet
 
     def init_state(self, variables: dict, steps_per_epoch: int):
@@ -172,6 +185,15 @@ class Trainer:
         n_params = param_count(state.params)
         if not self.quiet:
             print(f"params: {n_params:,}  steps/epoch: {steps_per_epoch}")
+        # Hyperparameter logging to sinks (reference log_hyperparameters,
+        # src/utils/logging_utils.py:12-65: config + model/params counts).
+        self.logger.log_hparams({
+            "params": n_params, "steps_per_epoch": steps_per_epoch,
+            "run_dir": self.run_dir, **{f"trainer/{k}": v for k, v in
+                                        vars(cfg).items()
+                                        if isinstance(v, (int, float, str,
+                                                          bool, type(None)))},
+        })
 
         from lam_slide_tpu.utils.profiling import StepTimer
 
