@@ -141,6 +141,7 @@ def summarize(out_dir: str, top: int = 25, by_source: bool = False) -> None:
         out["device_total_ex_while_ms"] = round(
             sum(by_src.values()) / 1e3, 3)
     print(json.dumps(out))
+    return out
 
 
 def main():

@@ -48,8 +48,13 @@ MLP = 2 * D  # mlp_ratio 2
 SCALE = DH**-0.5
 
 
-def timeit(fn, *args, reps=3, chain=(1, 4)):
-    """Best-of-reps chained-scan timing: per-call seconds."""
+def timeit(fn, *args, reps=5, chain=(8, 32)):
+    """Best-of-reps chained-scan timing: per-call seconds.
+
+    chain lengths must make the length-difference (24 calls) comfortably
+    exceed the ±1-2 ms tunnel dispatch noise: the 2026-08-20 run with
+    chain=(1, 4) produced NEGATIVE per-call times for every sub-ms
+    component at B=1 (3 calls of a 0.1-0.3 ms op vs ms-scale noise)."""
 
     @functools.partial(jax.jit, static_argnames="n")
     def run(n, *a):
