@@ -39,6 +39,12 @@ def main(argv=None):
     p.add_argument("--no-decorr", action="store_true")
     p.add_argument("--figures", action="store_true")
     p.add_argument("--outdir", default=None)
+    p.add_argument("--control", action="store_true",
+                   help="random-model control: discard the trained DiT weights "
+                        "and sample from a fresh random init (same architecture, "
+                        "same frozen stage 1). The JSD gap between the normal "
+                        "run and this arm is the evidence that training — not "
+                        "the pipeline — produces the fidelity numbers.")
     args = p.parse_args(argv)
 
     import jax
@@ -88,6 +94,16 @@ def main(argv=None):
     fs_model = build_peptide_first_stage(fs_cfg)
     ss = build_peptide_second_stage(cfg2, fs_model, fs_vars)
 
+    if args.control:
+        # Re-initialize the DiT with a fresh seed; keep shapes by initializing
+        # against abstract zeros of the trained params' latent shape.
+        b0, t0, l0 = 1, cfg2.num_timesteps, 2
+        x0 = jnp.zeros((b0, t0, l0, cfg2.in_dim))
+        m0 = jnp.zeros((b0, t0, l0), jnp.int32)
+        params = ss.backbone.init(jax.random.PRNGKey(20260820), x0,
+                                  jnp.zeros((b0,)), x0, m0)["params"]
+        print("CONTROL ARM: sampling from a RANDOM-INIT model", flush=True)
+
     sampler = RolloutSampler(
         ss, params, fs_vars,
         sampling_kwargs=(
@@ -104,7 +120,8 @@ def main(argv=None):
         num_entities=fs_cfg.num_entities,
         synthetic_frames=max(4 * cfg2.num_timesteps, 200),
     )
-    outdir = args.outdir or os.path.join(info["run_dir"], "eval")
+    outdir = args.outdir or os.path.join(
+        info["run_dir"], "eval_control" if args.control else "eval")
     os.makedirs(outdir, exist_ok=True)
 
     available = [t["name"] for t in ds.trajectories]

@@ -547,7 +547,9 @@ def _pep_collate(samples):
     return out
 
 
-def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0, **_):
+def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
+                        synthetic_peptides=None, synthetic_frames=None,
+                        repeats=1, batch_size=None, **_):
     from lam_slide_tpu.composites.peptide import (
         PeptideFirstStageConfig, build_peptide_first_stage, make_peptide_first_stage_loss,
     )
@@ -558,13 +560,15 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0, *
         dim_head_cross=8, dim_head_latent=8)
     model = build_peptide_first_stage(cfg)
     kw = dict(num_entities=cfg.num_entities, n_timesteps=100,
-              synthetic_peptides=4 if smoke else 8,
-              synthetic_frames=120 if smoke else 1200)
+              synthetic_peptides=synthetic_peptides or (4 if smoke else 8),
+              synthetic_frames=synthetic_frames or (120 if smoke else 1200),
+              repeats=repeats)
     train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
                            first_stage=True, rand_rotation=True, **kw)
     val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val",
-                         first_stage=True, synthetic_prefix="valsynth", **kw)
-    bs = 4 if smoke else 512
+                         first_stage=True, synthetic_prefix="valsynth",
+                         **dict(kw, repeats=1))
+    bs = batch_size or (4 if smoke else 512)
     train_loader = Loader(train, bs, _pep_collate, seed=seed, drop_last=False)
     val_loaders = {"val": Loader(val, bs, _pep_collate, shuffle=False, seed=seed,
                                  drop_last=False)}
@@ -582,14 +586,16 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0, *
 
 
 def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
-                         first_stage_run=None, dit_dtype=None, **_):
+                         first_stage_run=None, dit_dtype=None,
+                         synthetic_peptides=None, synthetic_frames=None,
+                         repeats=1, batch_size=None, n_timesteps=None, **_):
     from lam_slide_tpu.composites.peptide import (
         PeptideFirstStageConfig, PeptideSecondStageConfig, build_peptide_first_stage,
         build_peptide_second_stage, make_peptide_second_stage_loss,
     )
     from lam_slide_tpu.data.peptide import PeptideDataset
 
-    n_t = 16 if smoke else 1000
+    n_t = n_timesteps or (16 if smoke else 1000)
     if first_stage_run is not None:
         fs_vars, fs_cfg_dict = load_first_stage_variables(workspace, first_stage_run)
         fs_cfg = PeptideFirstStageConfig(**{
@@ -605,13 +611,14 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     fs_model = build_peptide_first_stage(fs_cfg)
 
     kw = dict(num_entities=fs_cfg.num_entities, n_timesteps=n_t, first_stage=False,
-              synthetic_peptides=2 if smoke else 8,
-              synthetic_frames=60 if smoke else 2000)
+              synthetic_peptides=synthetic_peptides or (2 if smoke else 8),
+              synthetic_frames=synthetic_frames or (60 if smoke else 2000),
+              repeats=repeats)
     train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
                            rand_rotation=True, **kw)
     val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val",
-                         synthetic_prefix="valsynth", **kw)
-    bs = 2 if smoke else 16
+                         synthetic_prefix="valsynth", **dict(kw, repeats=1))
+    bs = batch_size or (2 if smoke else 16)
     train_loader = Loader(train, bs, _pep_collate, seed=seed, drop_last=False)
     val_loaders = {"val": Loader(val, bs, _pep_collate, shuffle=False, seed=seed,
                                  drop_last=False)}
@@ -643,7 +650,7 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                                 monitor="si_loss", grad_clip=0.5,
                                 val_every_n_epochs=1 if smoke else 10, seed=seed)
     test = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/test",
-                          synthetic_prefix="testsynth", **kw)
+                          synthetic_prefix="testsynth", **dict(kw, repeats=1))
     test_loaders = {"test": Loader(test, bs, _pep_collate, shuffle=False, seed=seed,
                                    drop_last=False)}
     return ExperimentRun(
