@@ -82,20 +82,26 @@ _FLOPS_PER_EVAL = 2 * 7 * (
 A100_ANCHOR = 312e12 * 0.05 / _FLOPS_PER_EVAL  # traj-steps/s
 
 
-def build_solver(batch: int, method: str = "euler") -> dict:
+def build_solver(batch: int, method: str = "euler", num_heads: int = 16) -> dict:
     """The exact program the headline measures: full-size 4AA denoiser +
     Euler-10 probability-flow solve at the given batch. Shared with
     tools/capture_trace.py so the op-level trace profiles the same program
     the benchmark times. ``method="dopri5"`` builds the eval-protocol
     adaptive solver instead (atol 1e-6 / rtol 1e-3,
-    configs/eval_peptide.yaml:23); its solve returns (x, n_iters)."""
+    configs/eval_peptide.yaml:23); its solve returns (x, n_iters).
+
+    ``num_heads`` is the head-split A/B knob (PERF.md: the reference's
+    16x24 split pays a 5.3x MXU lane tax; 12x32 and 3x128 are the
+    TPU-native variants — same hidden width, near-identical param count).
+    The headline always runs the reference-exact 16 (tools/measure_dh_ab.py
+    measures the variants)."""
     import jax
     import jax.numpy as jnp
 
     from lam_slide_tpu.models import LatentDiT
     from lam_slide_tpu.transport import Sampler, create_transport
 
-    model = LatentDiT(depth=7, in_dim=DIN, hidden_size=384, num_heads=16,
+    model = LatentDiT(depth=7, in_dim=DIN, hidden_size=384, num_heads=num_heads,
                       mlp_ratio=2, n_timesteps=T, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, T, L, DIN))
@@ -125,13 +131,13 @@ def build_solver(batch: int, method: str = "euler") -> dict:
             "x_cond": x_cond, "mask": mask}
 
 
-def measure(batch: int) -> float:
+def measure(batch: int, num_heads: int = 16) -> float:
     """Best sustained traj-ODE-steps/s at the given batch."""
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
-    setup = build_solver(batch)
+    setup = build_solver(batch, num_heads=num_heads)
     solve, noise = setup["solve"], setup["noise"]
 
     import functools

@@ -149,6 +149,81 @@ def _run_sweep_parallel(name, workspace, first_stage_runs, smoke, extra,
     return [r for r in results if r]
 
 
+def submit_slurm(name, workspace="runs", first_stage_runs=None, smoke=False,
+                 extra=None, partition=None, account=None, time_limit="24:00:00",
+                 nodes=1, qos=None, submit=True) -> List[str]:
+    """Cluster-scale multirun launcher — the submitit-SLURM counterpart
+    (reference configs/hydra/karolina.yaml, configs/hydra/meluxina.yaml:
+    ``tasks_per_node: ${n_gpus}``, ``nodes: ${n_nodes}``, partition/account
+    per cluster).
+
+    One sbatch script per sweep entry under ``<workspace>/slurm/``:
+    ``nodes`` tasks launched by ``srun`` (one process per host, the
+    TPU-pod process model), the job passing ``--multihost`` so each process
+    calls ``jax.distributed.initialize()`` and the data mesh spans hosts
+    over DCN. ``submit=False`` (or no ``sbatch`` on PATH) writes the
+    scripts and prints the submit commands instead — scheduling stays
+    external, exactly like the reference's submitit integration.
+
+    Returns the generated script paths.
+    """
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    script_dir = os.path.join(workspace, "slurm")
+    os.makedirs(script_dir, exist_ok=True)
+    scripts = []
+    for exp_name, dataset, fs_run, kwargs, run_id in _resolve_entries(
+            name, first_stage_runs, extra):
+        args = ["--experiment", exp_name, "--workspace", workspace,
+                "--run-id", run_id]
+        if smoke:
+            args.append("--smoke")
+        if fs_run:
+            args += ["--first-stage-run", str(fs_run)]
+        if nodes > 1:
+            args.append("--multihost")
+        for key, val in kwargs.items():
+            if key in ("molecule", "scene"):
+                args += [f"--{key}", str(val)]
+            else:
+                args += ["--exp-set", f"{key}={val}"]
+        directives = [
+            f"#SBATCH --job-name=lam-slide-{name}-{dataset}-{run_id}",
+            f"#SBATCH --nodes={nodes}",
+            "#SBATCH --ntasks-per-node=1",  # one process per TPU host
+            f"#SBATCH --time={time_limit}",
+            f"#SBATCH --output={os.path.abspath(workspace)}/{run_id}/slurm-%j.log",
+        ]
+        if partition:
+            directives.append(f"#SBATCH --partition={partition}")
+        if account:
+            directives.append(f"#SBATCH --account={account}")
+        if qos:
+            directives.append(f"#SBATCH --qos={qos}")
+        body = " ".join(["srun", sys.executable, "-m", "lam_slide_tpu.train.cli",
+                         *args])
+        path = os.path.join(script_dir, f"{name}-{dataset}-{run_id}.sbatch")
+        os.makedirs(os.path.join(workspace, run_id), exist_ok=True)
+        with open(path, "w") as f:
+            f.write("#!/bin/bash\n" + "\n".join(directives) + "\n\n"
+                    "set -euo pipefail\nexport OMP_NUM_THREADS=1\n" + body + "\n")
+        os.chmod(path, 0o755)
+        scripts.append(path)
+
+    sbatch = shutil.which("sbatch")
+    for path in scripts:
+        if submit and sbatch:
+            out = subprocess.run([sbatch, path], capture_output=True, text=True)
+            print(f"sbatch {path}: {(out.stdout or out.stderr).strip()}",
+                  flush=True)
+        else:
+            print(f"generated {path} (submit with: sbatch {path})", flush=True)
+    return scripts
+
+
 def main(argv=None):
     import argparse
 
@@ -161,7 +236,25 @@ def main(argv=None):
                    help="parallel subprocess launches (joblib-launcher shape)")
     p.add_argument("--devices", type=int, default=None,
                    help="forward --devices N (virtual CPU mesh) to each job")
+    p.add_argument("--slurm", action="store_true",
+                   help="emit/submit one sbatch script per entry instead of "
+                        "running locally (the submitit-multirun counterpart)")
+    p.add_argument("--slurm-partition", default=None)
+    p.add_argument("--slurm-account", default=None)
+    p.add_argument("--slurm-qos", default=None)
+    p.add_argument("--slurm-time", default="24:00:00")
+    p.add_argument("--slurm-nodes", type=int, default=1,
+                   help="hosts per job; >1 adds --multihost (DCN data mesh)")
+    p.add_argument("--no-submit", action="store_true",
+                   help="with --slurm: only generate the scripts")
     args = p.parse_args(argv)
+    if args.slurm:
+        submit_slurm(args.sweep, workspace=args.workspace,
+                     first_stage_runs=args.first_stage_run, smoke=args.smoke,
+                     partition=args.slurm_partition, account=args.slurm_account,
+                     qos=args.slurm_qos, time_limit=args.slurm_time,
+                     nodes=args.slurm_nodes, submit=not args.no_submit)
+        return
     run_sweep(args.sweep, workspace=args.workspace,
               first_stage_runs=args.first_stage_run, smoke=args.smoke,
               jobs=args.jobs, devices=args.devices)

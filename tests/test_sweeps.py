@@ -39,3 +39,25 @@ def test_parallel_sweep_surfaces_failures(tmp_path, monkeypatch):
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "1/1 jobs failed" in str(e)
+
+
+def test_slurm_launcher_generates_scripts(tmp_path):
+    """submit_slurm: one sbatch script per sweep entry, reference-launcher
+    directives (nodes/tasks-per-node/partition/account — configs/hydra/
+    karolina.yaml shape), --multihost only for multi-node jobs."""
+    ws = str(tmp_path / "ws")
+    scripts = sweeps.submit_slurm(
+        "nba", workspace=ws, partition="gpu", account="proj1",
+        time_limit="08:00:00", nodes=2, submit=False)
+    assert len(scripts) == len(sweeps.SWEEPS["nba"])
+    body = open(scripts[0]).read()
+    assert "#SBATCH --nodes=2" in body
+    assert "#SBATCH --ntasks-per-node=1" in body
+    assert "#SBATCH --partition=gpu" in body
+    assert "#SBATCH --account=proj1" in body
+    assert "#SBATCH --time=08:00:00" in body
+    assert "--multihost" in body and "srun" in body
+    assert "lam_slide_tpu.train.cli" in body
+
+    single = sweeps.submit_slurm("peptide", workspace=ws, nodes=1, submit=False)
+    assert "--multihost" not in open(single[0]).read()
