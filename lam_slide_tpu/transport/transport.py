@@ -281,8 +281,9 @@ class Sampler:
 
         rng is accepted for API uniformity and ignored (the flow is
         deterministic given the init noise). ``return_stats=True`` (dopri5
-        only) → ``(x, n_iters)`` with the adaptive solver's attempted step
-        count (NFE = 1 + 6 * n_iters), for protocol benchmarking.
+        only) → ``(x, (n_iters, n_accepted))`` with the adaptive solver's
+        attempted/accepted step counts (NFE = 1 + 6 * n_iters), for
+        protocol benchmarking.
         """
         if reverse:
             drift = lambda x, t, m, **kw: self.drift(x, jnp.ones_like(t) * (1 - t), m, **kw)

@@ -289,10 +289,11 @@ def test_dopri5_matches_scipy_on_dit_drift():
 
     sample_fn = sampler.sample_ode(sampling_method="dopri5", atol=1e-6,
                                    rtol=1e-3, return_stats=True)
-    out, n_iters = jax.jit(
+    out, (n_iters, n_accepted) = jax.jit(
         lambda x: sample_fn(None, x, model_fn, x_cond=x_cond,
                             x_cond_mask=mask))(x0)
-    assert int(n_iters) > 0  # the NFE counter the bench arm reports
+    # the NFE/steps-accepted counters the bench arm + trained-NFE tool report
+    assert int(n_iters) >= int(n_accepted) > 0
     np.testing.assert_allclose(np.asarray(out, np.float64), ref,
                                rtol=5e-3, atol=5e-4)
     # stats off -> same trajectory endpoint, plain array return
