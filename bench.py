@@ -101,8 +101,15 @@ def build_solver(batch: int, method: str = "euler", num_heads: int = 16) -> dict
     from lam_slide_tpu.models import LatentDiT
     from lam_slide_tpu.transport import Sampler, create_transport
 
+    # dopri5 arm: scan_layers=True matches the shipping eval config (the
+    # non-smoke peptide stage-2 builder rolls the depth loop into nn.scan)
+    # AND keeps the bounded-while compile small — the UNROLLED depth-7
+    # dopri5 compile ran 23+ min and has wedged the TPU tunnel before
+    # (docs/STATUS.md). The Euler headline keeps the unrolled layout it has
+    # always measured.
     model = LatentDiT(depth=7, in_dim=DIN, hidden_size=384, num_heads=num_heads,
-                      mlp_ratio=2, n_timesteps=T, dtype=jnp.bfloat16)
+                      mlp_ratio=2, n_timesteps=T, dtype=jnp.bfloat16,
+                      scan_layers=(method == "dopri5"))
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, T, L, DIN))
     x_cond = jnp.zeros_like(x)
