@@ -94,6 +94,55 @@ class TestPeptideDataset:
         # masked atoms are zeroed
         assert np.all(s2["atom14_pos"][~s2["atom14_mask"]] == 0)
 
+    def test_repeats_multiplies_epoch_length(self):
+        ds = PeptideDataset(first_stage=True, synthetic_peptides=3,
+                            synthetic_frames=30, repeats=5)
+        assert len(ds) == 15
+        rng = np.random.default_rng(0)
+        s = ds.sample(14, rng)  # idx wraps back onto trajectory 14 % 3 == 2
+        ref = ds.trajectories[2]
+        assert s["aatype"].shape == ref["aatype"][0].shape
+
+    def test_frame_split_restricts_draws(self):
+        """Stage-1 frames come only from the split range; stage-2 windows
+        stay inside it; an undersized range raises."""
+        ds = PeptideDataset(first_stage=True, synthetic_peptides=1,
+                            synthetic_frames=100, frame_split=(0.8, 1.0))
+        traj = ds.trajectories[0]
+        rng = np.random.default_rng(0)
+        tail = traj["atom14_pos"][80:]
+        for _ in range(20):
+            s = PeptideDataset.sample(ds, 0, rng)
+            # the unaugmented frame must be one of the tail frames
+            # (identity rotation, centered) — match by torsions, which the
+            # augmentation does not touch
+            match = (np.abs(traj["torsions"][80:] - s["torsions"][None][0]
+                            ).reshape(20, -1).max(-1) < 1e-6)
+            assert match.any()
+        ds2 = PeptideDataset(first_stage=False, synthetic_peptides=1,
+                             synthetic_frames=100, n_timesteps=30,
+                             frame_split=(0.0, 0.6))
+        for _ in range(10):
+            s2 = ds2.sample(0, rng)
+            assert s2["atom14_pos"].shape[0] == 30
+        with pytest.raises(ValueError, match="too short"):
+            PeptideDataset(first_stage=False, synthetic_peptides=1,
+                           synthetic_frames=100, n_timesteps=30,
+                           frame_split=(0.8, 1.0)).sample(0, rng)
+
+    def test_synthetic_pose_is_generic(self):
+        """Each synthetic trajectory carries one fixed Haar-generic
+        orientation: the backbone must NOT be axis-aligned (the raw FK pose
+        was measure-zero under rotation augmentation — canonical-pose
+        validation diverged while rotated validation tracked train)."""
+        ds = PeptideDataset(first_stage=True, synthetic_peptides=4,
+                            synthetic_frames=10)
+        for traj in ds.trajectories:
+            ca = traj["atom14_pos"][0, :, 1]  # CA atoms of frame 0
+            axis = ca[-1] - ca[0]
+            axis = axis / np.linalg.norm(axis)
+            assert abs(abs(axis[0]) - 1.0) > 1e-3  # not the +x march
+
 
 class TestPeptideStage1:
     def test_trains_and_metrics(self):
