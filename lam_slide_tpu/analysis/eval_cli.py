@@ -39,6 +39,11 @@ def main(argv=None):
     p.add_argument("--no-decorr", action="store_true")
     p.add_argument("--figures", action="store_true")
     p.add_argument("--outdir", default=None)
+    p.add_argument("--batch-peptides", action="store_true",
+                   help="sample every test peptide in ONE batched device "
+                        "program per rollout instead of the reference's "
+                        "serial per-peptide loop (eval_peptide.py:352-367) "
+                        "— identical protocol, amortized dispatch")
     p.add_argument("--control", action="store_true",
                    help="random-model control: discard the trained DiT weights "
                         "and sample from a fresh random init (same architecture, "
@@ -133,20 +138,40 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(137)
     samples = {}
-    for traj in ds.trajectories:
-        name = traj["name"]
-        if args.pdb_ids and name not in args.pdb_ids:
-            continue
+    selected = [t for t in ds.trajectories
+                if not args.pdb_ids or t["name"] in args.pdb_ids]
+    if args.batch_peptides:
         t0 = time.time()
-        rng, key = jax.random.split(rng)
-        res = traj["aatype"][0]
-        res_mask = traj["atom14_mask"][0]
-        gen = sampler.sample_rollout(
-            key, traj["atom14_pos"][0], res, res_mask, num_rollouts=args.num_rollouts)
-        print(f"sampled {name}: {gen.shape[0]} frames in {time.time()-t0:.1f}s")
-        atom14_to_pdb(gen[:: max(len(gen) // 50, 1)], res,
-                      os.path.join(outdir, f"{name}.pdb"))
-        samples[name] = {"traj": gen, "ref": traj["atom14_pos"], "aatype": res}
+        gen_all = sampler.sample_rollout_batched(
+            rng,
+            jnp.stack([jnp.asarray(t["atom14_pos"][0]) for t in selected]),
+            jnp.stack([jnp.asarray(t["aatype"][0]) for t in selected]),
+            jnp.stack([jnp.asarray(t["atom14_mask"][0]) for t in selected]),
+            num_rollouts=args.num_rollouts)
+        wall = time.time() - t0
+        print(f"sampled {len(selected)} peptides batched: "
+              f"{gen_all.shape[1]} frames each in {wall:.1f}s "
+              f"({wall / len(selected):.1f}s/peptide)")
+        for traj, gen in zip(selected, gen_all):
+            res = traj["aatype"][0]
+            atom14_to_pdb(gen[:: max(len(gen) // 50, 1)], res,
+                          os.path.join(outdir, f"{traj['name']}.pdb"))
+            samples[traj["name"]] = {"traj": gen, "ref": traj["atom14_pos"],
+                                     "aatype": res}
+    else:
+        for traj in selected:
+            name = traj["name"]
+            t0 = time.time()
+            rng, key = jax.random.split(rng)
+            res = traj["aatype"][0]
+            res_mask = traj["atom14_mask"][0]
+            gen = sampler.sample_rollout(
+                key, traj["atom14_pos"][0], res, res_mask,
+                num_rollouts=args.num_rollouts)
+            print(f"sampled {name}: {gen.shape[0]} frames in {time.time()-t0:.1f}s")
+            atom14_to_pdb(gen[:: max(len(gen) // 50, 1)], res,
+                          os.path.join(outdir, f"{name}.pdb"))
+            samples[name] = {"traj": gen, "ref": traj["atom14_pos"], "aatype": res}
 
     cfg = EvalConfig(truncate=args.truncate, run_msm=not args.no_msm,
                      run_decorrelation=not args.no_decorr)

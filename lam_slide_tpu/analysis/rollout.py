@@ -38,15 +38,23 @@ class RolloutSampler:
         )
 
     def create_batch(self, pos: jnp.ndarray, res: jnp.ndarray, res_mask: jnp.ndarray):
-        """One conditioning frame -> T-frame batch (sampling.py:24-42)."""
+        """Conditioning frame(s) -> T-frame batch (sampling.py:24-42).
+
+        Accepts one frame ([R, 14, 3]) or a stack of B frames
+        ([B, R, 14, 3]) — the batched form drives every test peptide
+        through one device program instead of the reference's serial
+        per-peptide loop (eval_peptide.py:352-367).
+        """
+        if pos.ndim == 3:
+            pos, res, res_mask = pos[None], res[None], res_mask[None]
+        b, r = res.shape
         t = self.ss.num_timesteps
-        r = res.shape[0]
         pos = pos * res_mask[..., None]
         return {
-            "atom14_pos": jnp.broadcast_to(pos[None, None], (1, t, r, 14, 3)),
-            "aatype": jnp.broadcast_to(res[None, None], (1, t, r)),
-            "attention_mask": jnp.ones((1, t, r), bool),
-            "entities": jnp.broadcast_to(jnp.arange(r)[None, None], (1, t, r)),
+            "atom14_pos": jnp.broadcast_to(pos[:, None], (b, t, r, 14, 3)),
+            "aatype": jnp.broadcast_to(res[:, None], (b, t, r)),
+            "attention_mask": jnp.ones((b, t, r), bool),
+            "entities": jnp.broadcast_to(jnp.arange(r)[None, None], (b, t, r)),
         }
 
     def sample_rollout(
@@ -71,4 +79,38 @@ class RolloutSampler:
         positions = np.concatenate(chunks)
         positions[0] = np.asarray(cond_pos)  # sampling.py:62 exact-cond first frame
         positions = positions * np.asarray(res_mask)[None, :, :, None]
+        return positions * self.scale + self.shift
+
+    def sample_rollout_batched(
+        self,
+        rng: jax.Array,
+        cond_pos: jnp.ndarray,
+        res: jnp.ndarray,
+        res_mask: jnp.ndarray,
+        num_rollouts: int = 1,
+    ) -> np.ndarray:
+        """Batched chained rollouts: [B, R, 14, 3] conditioning frames ->
+        [B, num_rollouts*T, R, 14, 3].
+
+        Same chain semantics as ``sample_rollout`` but all B peptides ride
+        one device program per rollout — the TPU-native replacement for the
+        reference's serial per-peptide sampling loop. Per-peptide rng
+        streams are split so results are a deterministic function of
+        (rng, B) regardless of which peptides share a batch.
+        """
+        cond_pos = (cond_pos - self.shift) / self.scale
+        b = res.shape[0]
+        pos = cond_pos
+        chunks = []
+        for _ in range(num_rollouts):
+            batch = self.create_batch(pos, res, res_mask)
+            rng, key = jax.random.split(rng)
+            out = self._sample(self.params, self.fs_variables, batch, key)
+            pred = out["atom14_pos"].reshape(
+                b, self.ss.num_timesteps, res.shape[1], 14, 3)
+            chunks.append(np.asarray(pred))
+            pos = pred[:, -1]
+        positions = np.concatenate(chunks, axis=1)
+        positions[:, 0] = np.asarray(cond_pos)
+        positions = positions * np.asarray(res_mask)[:, None, :, :, None]
         return positions * self.scale + self.shift

@@ -605,7 +605,7 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                          first_stage_run=None, dit_dtype=None,
                          synthetic_peptides=None, synthetic_frames=None,
                          repeats=1, batch_size=None, n_timesteps=None,
-                         frame_holdout=0.0, **_):
+                         frame_holdout=0.0, num_heads=None, **_):
     from lam_slide_tpu.composites.peptide import (
         PeptideFirstStageConfig, PeptideSecondStageConfig, build_peptide_first_stage,
         build_peptide_second_stage, make_peptide_second_stage_loss,
@@ -651,11 +651,15 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         frame0 = {k: v[:, 0] for k, v in batch.items()}
         fs_vars = fs_model.init(jax.random.PRNGKey(seed), frame0)
 
+    # num_heads: head-split A/B (PERF.md dh lane-tax analysis; 16x24
+    # reference default vs TPU-native 12x32 / 3x128 at the same width)
     cfg2 = (PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, num_timesteps=n_t,
-                                     scan_layers=True)
+                                     scan_layers=True,
+                                     **({"num_heads": num_heads} if num_heads
+                                        else {}))
             if not smoke else
             PeptideSecondStageConfig(in_dim=fs_cfg.dim_latent, depth=2, hidden_size=32,
-                                     num_heads=4, num_timesteps=n_t))
+                                     num_heads=num_heads or 4, num_timesteps=n_t))
     # bf16-mixed stage-2 by default; dit_dtype overrides (sweeps / tests)
     dit_dtype = (jnp.dtype(dit_dtype) if dit_dtype is not None
                  else (jnp.float32 if smoke else jnp.bfloat16))

@@ -62,6 +62,32 @@ def test_rollout_sampler(peptide_world):
     assert np.all(out[:, ~np.asarray(res_mask)] == 0)
 
 
+def test_batched_rollout_matches_serial_at_b1(peptide_world):
+    """sample_rollout_batched with B=1 reproduces the serial path exactly
+    (same rng chain), and stacks independently for B>1."""
+    ss, params, fs_vars, traj = peptide_world
+    sampler = RolloutSampler(
+        ss, params, fs_vars,
+        sampling_kwargs={"sampling_method": "euler", "num_steps": 2},
+    )
+    res = jnp.asarray(traj["aatype"][0])
+    res_mask = jnp.asarray(traj["atom14_mask"][0])
+    cond = jnp.asarray(traj["atom14_pos"][0])
+    serial = sampler.sample_rollout(jax.random.PRNGKey(3), cond, res, res_mask,
+                                    num_rollouts=2)
+    batched = sampler.sample_rollout_batched(
+        jax.random.PRNGKey(3), cond[None], res[None], res_mask[None],
+        num_rollouts=2)
+    assert batched.shape == (1, *serial.shape)
+    np.testing.assert_allclose(batched[0], serial, atol=1e-5)
+
+    two = sampler.sample_rollout_batched(
+        jax.random.PRNGKey(3), jnp.stack([cond, cond]), jnp.stack([res, res]),
+        jnp.stack([res_mask, res_mask]), num_rollouts=1)
+    assert two.shape[0] == 2 and np.isfinite(two).all()
+    assert np.all(two[:, :, ~np.asarray(res_mask)] == 0)
+
+
 def test_analysis_pipeline_on_synthetic(peptide_world):
     _, _, _, traj = peptide_world
     atom14 = traj["atom14_pos"]
