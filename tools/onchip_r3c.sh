@@ -1,4 +1,11 @@
 #!/usr/bin/env bash
+# RETIRED (round 4): superseded by tools/onchip_r4.sh, which fixes the
+# advisor findings against this script — the r3b.pid clobber below (this
+# runner stole the r3b watchdog slot), stdout-only wedge classification
+# (tpu_unavailable tracebacks land on stderr), and the unbounded
+# probe-count loop (r4 uses a hard wall-clock deadline). Kept for the
+# measurement record of the r3 sessions.
+#
 # Round-3 final on-chip queue, re-prioritized for a short session budget
 # (~45 min): the driver re-runs `python bench.py` cold at round end (the
 # /tmp compile cache was wiped with the session restart), so step 1 runs
