@@ -84,6 +84,8 @@ _SLOW_TESTS = {
     "test_second_stage.py::test_sampling_shapes_and_determinism",
     "test_reference_formats.py::test_nba_fixture_through_reference_process_data",
     "test_flash_attention.py::TestPackedLayout::test_grads_match_headmajor",
+    "test_measure_tools.py::test_measure_trained_nfe_on_smoke_run",
+    "test_eval_pipeline.py::test_batched_rollout_matches_serial_at_b1",
 }
 
 
