@@ -91,10 +91,45 @@ def main():
         lines.append("")
 
     ev = os.path.join(ws, "conv-pep-s2", "eval", "metrics.json")
+    ctrl = os.path.join(ws, "conv-pep-s2", "eval_control", "metrics.json")
     if os.path.exists(ev):
         data = json.load(open(ev))
         lines += ["## Peptide eval pipeline (dopri5 protocol)", "",
                   "```json", json.dumps(data["summary"], indent=2), "```", ""]
+        if os.path.exists(ctrl):
+            cdata = json.load(open(ctrl))
+            lines += [
+                "### Random-init CONTROL (same pipeline, untrained DiT)", "",
+                "```json", json.dumps(cdata["summary"], indent=2), "```", "",
+                "Trained-vs-control JSD gap (lower JSD = closer to the "
+                "reference MD distribution):", "",
+            ]
+            for k in data["summary"]:
+                tv, cv = data["summary"][k], cdata["summary"].get(k)
+                if isinstance(tv, (int, float)) and isinstance(cv, (int, float)):
+                    lines.append(f"- {k}: trained {tv:.4f} vs control {cv:.4f} "
+                                 f"({'BETTER' if tv < cv else 'worse'})")
+            lines.append("")
+
+    lines += [
+        "## Real-data constraint (stated explicitly)", "",
+        "No real MD17 / 4AA(mdgen) / ETH-UCY / NBA archives are reachable",
+        "from this environment (zero network egress), so every committed",
+        "training artifact uses the synthetic generators. Real-data",
+        "ingestion is pinned at the FORMAT level by fixture tests written",
+        "to the reference's documented raw layouts (the NBA fixture runs",
+        "through the reference's own scripts/nba/process_data.py) —",
+        "tests/test_reference_formats.py, tests/test_real_formats.py.", "",
+        "Consequence for the peptide protocol: cross-SEQUENCE",
+        "generalization requires the real ~3100-peptide mdgen train split",
+        "(measured on synthetic data: train pos_loss falls while",
+        "disjoint-sequence val stays flat at any budget we can synthesize),",
+        "so the synthetic convergence protocol validates on held-out FRAMES",
+        "of the training sequences (`frame_holdout`) — temporally disjoint",
+        "windows, same peptides — and the stage-2 eval is read against the",
+        "random-init control above rather than the paper's absolute JSD",
+        "numbers.", "",
+    ]
 
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
