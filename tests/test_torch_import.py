@@ -315,6 +315,72 @@ def test_import_second_stage_class_conditional_tree():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_import_encoder2_interleaved_schema():
+    """Encoder2 stores (cross, self) pairs under cross_attn_blocks.{i}.{0,1}
+    (encoder.py:106-162) — the importer must route both onto the flax
+    cross_{i}/self_{i} scopes."""
+    from lam_slide_tpu.models import Encoder2
+
+    rng = np.random.default_rng(5)
+    sd = {}
+    dl, nl, de, din = 8, 4, 16, 16
+    ctx = din + de
+    sd["latents"] = rng.standard_normal((nl, dl)).astype(np.float32)
+    _t_linear(sd, "mlp.0", ctx, dl, rng)
+    _t_linear(sd, "mlp.2", dl, ctx, rng)
+    _t_block(sd, "cross_attn_blocks.0.0", dl, 2, 4, rng, cross=True, ctx=ctx)
+    _t_block(sd, "cross_attn_blocks.0.1", dl, 2, 4, rng, cross=False, fused=True)
+    params = ti.import_encoder(sd)
+
+    enc = Encoder2(dim_latent=dl, num_latents=nl, dim_head_cross=4,
+                   dim_head_latent=4, num_head_cross=2, num_head_latent=2,
+                   num_block=1, qk_norm=True, backend="xla")
+    x = jnp.zeros((2, 6, din))
+    emb = jnp.zeros((2, 6, de))
+    init = enc.init(jax.random.PRNGKey(0), x, emb)
+    _assert_same_tree(params, init["params"])
+    out = enc.apply({"params": params}, x, emb)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_import_decoder_fe_and_decoder2_schema():
+    """DecoderFE's energy query/block/mlp (decoder.py:105-216) and
+    Decoder2's shared query bias (decoder.py:219-310)."""
+    from lam_slide_tpu.models import Decoder2, DecoderFE
+
+    rng = np.random.default_rng(6)
+    dl, de, dq = 8, 16, 16
+
+    sd = {}
+    _t_decoder(sd, "d", dl, de, dq, 2, 4, rng, {"pos": 3})
+    fe = {k[2:]: v for k, v in sd.items()}
+    fe["energy_query"] = rng.standard_normal(dq).astype(np.float32)
+    _t_block(fe, "energy_block", dq, 2, 4, rng, cross=True, ctx=dl)
+    _t_linear(fe, "energy_mlp.0", dq, dq, rng)
+    _t_linear(fe, "energy_mlp.2", dq, 1, rng)
+    params = ti.import_decoder(fe)
+    dec = DecoderFE(outputs={"pos": 3}, dim_query=dq, dim_head_cross=4,
+                    dim_head_latent=4, num_head_cross=2, num_head_latent=2,
+                    num_block_cross=0, num_block_attn=1, dropout_query=0.0,
+                    qk_norm=True, backend="xla")
+    latent = jnp.zeros((2, 4, dl))
+    emb = jnp.zeros((2, 6, de))
+    init = dec.init(jax.random.PRNGKey(0), latent, emb)
+    _assert_same_tree(params, init["params"])
+    out = dec.apply({"params": params}, latent, emb)
+    assert out["energy"].shape == (2, 1)
+
+    d2 = {k[2:]: v for k, v in sd.items()}
+    d2["query"] = rng.standard_normal(dq).astype(np.float32)
+    params2 = ti.import_decoder(d2)
+    dec2 = Decoder2(outputs={"pos": 3}, dim_query=dq, dim_head_cross=4,
+                    dim_head_latent=4, num_head_cross=2, num_head_latent=2,
+                    num_block_cross=0, num_block_attn=1, dropout_query=0.0,
+                    qk_norm=True, backend="xla")
+    init2 = dec2.init(jax.random.PRNGKey(0), latent, emb)
+    _assert_same_tree(params2, init2["params"])
+
+
 def test_strip_compiled():
     sd = {"backbone._orig_mod.x_in.weight": 1, "plain.key": 2}
     out = ti.strip_compiled(sd)
