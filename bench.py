@@ -88,7 +88,8 @@ def build_solver(batch: int, method: str = "euler", num_heads: int = 16) -> dict
     tools/capture_trace.py so the op-level trace profiles the same program
     the benchmark times. ``method="dopri5"`` builds the eval-protocol
     adaptive solver instead (atol 1e-6 / rtol 1e-3,
-    configs/eval_peptide.yaml:23); its solve returns (x, n_iters).
+    configs/eval_peptide.yaml:23); its solve returns
+    (x, (n_iters, n_accepted)).
 
     ``num_heads`` is the head-split A/B knob (PERF.md: the reference's
     16x24 split pays a 5.3x MXU lane tax; 12x32 and 3x128 are the

@@ -43,7 +43,9 @@ def main(argv=None):
                    help="sample every test peptide in ONE batched device "
                         "program per rollout instead of the reference's "
                         "serial per-peptide loop (eval_peptide.py:352-367) "
-                        "— identical protocol, amortized dispatch")
+                        "— same protocol (rollouts/windows/solver); the "
+                        "per-window noise draw is shared across the batch, "
+                        "so per-peptide samples differ from a serial run's")
     p.add_argument("--control", action="store_true",
                    help="random-model control: discard the trained DiT weights "
                         "and sample from a fresh random init (same architecture, "
@@ -81,12 +83,9 @@ def main(argv=None):
     # fp32 sampling of the bf16-trained model (configs/eval_peptide.yaml:19-25):
     # the model below is built at its default fp32 compute dtype; cast any
     # bf16-stored leaves up so the whole pipeline runs 32-true.
-    import jax.numpy as jnp
+    from lam_slide_tpu.utils.trees import tree_to_f32
 
-    to_f32 = lambda t: jax.tree.map(
-        lambda x: x.astype(jnp.float32)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-    params, fs_vars = to_f32(params), to_f32(fs_vars)
+    params, fs_vars = tree_to_f32(params), tree_to_f32(fs_vars)
 
     fs_cfg_src = {}
     if meta.get("first_stage_run"):

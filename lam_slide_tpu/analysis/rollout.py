@@ -94,9 +94,13 @@ class RolloutSampler:
 
         Same chain semantics as ``sample_rollout`` but all B peptides ride
         one device program per rollout — the TPU-native replacement for the
-        reference's serial per-peptide sampling loop. Per-peptide rng
-        streams are split so results are a deterministic function of
-        (rng, B) regardless of which peptides share a batch.
+        reference's serial per-peptide sampling loop. One rng key is drawn
+        per rollout window for the whole batch (the same chain the serial
+        path walks, so B=1 reproduces ``sample_rollout`` exactly); a
+        peptide's noise slice therefore depends on which peptides share
+        its batch. The eval protocol is statistical (JSD over sampled
+        ensembles), so batch composition changes the draw, not the
+        distribution.
         """
         cond_pos = (cond_pos - self.shift) / self.scale
         b = res.shape[0]

@@ -558,7 +558,13 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     """frame_holdout > 0 (synthetic only): validate on the last ``h`` fraction
     of FRAMES of the training sequences instead of disjoint valsynth
     sequences — cross-sequence generalization needs the real ~3100-peptide
-    mdgen split, unobtainable here (docs/CONVERGENCE.md)."""
+    mdgen split, unobtainable here (docs/CONVERGENCE.md). Rejected with
+    data_root: the real split is already sequence-disjoint and the
+    reference protocol uses whole trajectories."""
+    if frame_holdout and data_root is not None:
+        raise ValueError("frame_holdout is the synthetic-data validation "
+                         "protocol; real data (data_root) uses the "
+                         "sequence-disjoint reference splits")
     from lam_slide_tpu.composites.peptide import (
         PeptideFirstStageConfig, build_peptide_first_stage, make_peptide_first_stage_loss,
     )
@@ -606,6 +612,10 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                          synthetic_peptides=None, synthetic_frames=None,
                          repeats=1, batch_size=None, n_timesteps=None,
                          frame_holdout=0.0, num_heads=None, **_):
+    if frame_holdout and data_root is not None:
+        raise ValueError("frame_holdout is the synthetic-data validation "
+                         "protocol; real data (data_root) uses the "
+                         "sequence-disjoint reference splits")
     from lam_slide_tpu.composites.peptide import (
         PeptideFirstStageConfig, PeptideSecondStageConfig, build_peptide_first_stage,
         build_peptide_second_stage, make_peptide_second_stage_loss,

@@ -288,11 +288,10 @@ def _run_test_protocol(args, exp, params, fs_vars, mesh, run_dir, molecule):
 
     model = exp.test_model if exp.test_model is not None else exp.model
     loaders = exp.test_loaders if exp.test_loaders is not None else exp.val_loaders
-    to_f32 = lambda t: jax.tree.map(
-        lambda x: x.astype(jnp.float32) if hasattr(x, "dtype")
-        and jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-    params = to_f32(params)
-    fs_vars = to_f32(fs_vars)
+    from lam_slide_tpu.utils.trees import tree_to_f32
+
+    params = tree_to_f32(params)
+    fs_vars = tree_to_f32(fs_vars)
 
     cfg = exp.meta.get("config", {})
     k = int(cfg.get("K", 5))

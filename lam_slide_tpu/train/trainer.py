@@ -101,8 +101,12 @@ class MetricLogger:
 
     def close(self):
         self._f.close()
+        # External sinks are per-fit: a wandb run, once finished, rejects
+        # further log() calls, so drop them here. Reuse after close (the
+        # multirun-sweep path) reopens only the JSONL stream.
         for sink in self.sinks:
             sink.close()
+        self.sinks = []
 
 
 def _mean_metrics(acc: Dict[str, list]) -> Dict[str, float]:

@@ -54,6 +54,8 @@ def main(argv=None):
         raise SystemExit(f"unknown experiment {exp_name!r}; pass --experiment")
     launch = meta.get("launch", {})
     builder_kwargs = dict(launch.get("exp_overrides", {}))
+    # the protocol pins fp32 sampling regardless of how the run trained
+    builder_kwargs.pop("dit_dtype", None)
     for key in ("molecule", "scene"):
         if launch.get(key):
             builder_kwargs[key] = launch[key]
@@ -64,11 +66,10 @@ def main(argv=None):
         dit_dtype="float32",  # protocol: fp32 sampling of the bf16-trained model
         **builder_kwargs)
 
+    from lam_slide_tpu.utils.trees import tree_to_f32 as to_f32
+
     raw = load_checkpoint_raw(info["run_dir"], "best")
     params = raw.get("ema_params") or raw["params"]
-    to_f32 = lambda t: jax.tree.map(
-        lambda x: x.astype(jnp.float32)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x, t)
     params = to_f32(params)
     fs_vars = to_f32((raw.get("constants") or {}).get("first_stage")
                      or exp.variables.get("constants", {}).get("first_stage"))

@@ -41,6 +41,8 @@ def main():
         if not args.summarize_only:
             capture(b, out_dir)
         results[b] = summarize(out_dir, top=args.top)
+        if results[b] is None:  # summarize printed its own error JSON
+            raise SystemExit(f"no trace files under {out_dir}")
 
     b_lo, b_hi = batches[0], batches[-1]
     scale = b_hi / b_lo  # ratio a perfectly linear-in-B component shows
