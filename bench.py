@@ -223,7 +223,8 @@ def measure_dopri5(batch: int = 8) -> dict:
             "solve_ms": round(dt * 1e3, 2)}
 
 
-def _result_json(sweep, errors, partial_after=None, dopri5=None) -> str:
+def _result_json(sweep, errors, partial_after=None, dopri5=None,
+                 tpu_split=None) -> str:
     best_b = max(sweep, key=sweep.get)
     value = sweep[best_b]
     out = {
@@ -233,6 +234,13 @@ def _result_json(sweep, errors, partial_after=None, dopri5=None) -> str:
         "batch": best_b,
         "sweep": {str(b): round(v, 2) for b, v in sweep.items()},
     }
+    if tpu_split is not None:
+        # TPU-native head split (3 x dh=128 at the same hidden width/param
+        # count — engages the packed flash kernel, no dh=24 MXU lane tax).
+        # Reported as a labeled VARIANT: the headline above stays the
+        # reference-exact 16 x dh=24 architecture. Convergence parity of
+        # the variant is the runs/convergence conv-pep-s2-h3 arm.
+        out["tpu_split"] = tpu_split
     if dopri5 is not None:
         out["dopri5"] = dopri5  # the eval protocol's adaptive sampler arm
     if errors:
@@ -266,13 +274,30 @@ def worker() -> None:
                           "error": "bench_failed",
                           "detail": "; ".join(f"B={b}: {e}" for b, e in errors.items())[:300]}))
         return
+    # TPU-native head-split arm (3 x dh=128) at the measured-best batches;
+    # a labeled variant next to the reference-exact headline (skippable for
+    # opportunistic short-window runs)
+    tpu_split = None
+    if os.environ.get("LAM_SLIDE_BENCH_NO_TPU_SPLIT") != "1":
+        tpu_split = {}
+        for b in (2, 8):
+            try:
+                tpu_split[str(b)] = round(measure(b, num_heads=3), 2)
+                print(f"# tpu_split B={b}: {tpu_split[str(b)]}",
+                      file=sys.stderr, flush=True)
+            except Exception as e:
+                tpu_split[str(b)] = f"FAILED {type(e).__name__}"[:80]
+                print(f"# tpu_split B={b} FAILED {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+        print(_result_json(sweep, errors, tpu_split=tpu_split), flush=True)
     # eval-protocol arm: the dopri5 sampler the 4AA protocol actually runs
     # (skippable for opportunistic short-window runs)
     if os.environ.get("LAM_SLIDE_BENCH_NO_DOPRI5") != "1":
         try:
             d5 = measure_dopri5()
             print(f"# dopri5: {d5}", file=sys.stderr, flush=True)
-            print(_result_json(sweep, errors, dopri5=d5), flush=True)
+            print(_result_json(sweep, errors, dopri5=d5, tpu_split=tpu_split),
+                  flush=True)
         except Exception as e:
             print(f"# dopri5 arm FAILED {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)

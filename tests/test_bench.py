@@ -55,18 +55,25 @@ def test_worker_reprints_result_after_every_point(monkeypatch, capsys):
     'partial' marker on all but the final one."""
     import bench
 
-    monkeypatch.setattr(bench, "measure", lambda b: 100.0 + b)
+    monkeypatch.setattr(bench, "measure",
+                        lambda b, num_heads=16: 100.0 + b + num_heads)
     # the dopri5 arm failing must not lose the sweep result either
     monkeypatch.setattr(bench, "measure_dopri5",
                         lambda batch=8: (_ for _ in ()).throw(RuntimeError("x")))
     bench.worker()
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")]
-    assert len(lines) == len(bench.BATCH_SWEEP)
-    assert all("partial" in rec for rec in lines[:-1])
-    assert "partial" not in lines[-1]
-    assert lines[0]["sweep"] == {str(bench.BATCH_SWEEP[0]):
-                                 100.0 + bench.BATCH_SWEEP[0]}
+    # one line per sweep point + the tpu_split variant line
+    assert len(lines) == len(bench.BATCH_SWEEP) + 1
+    sweep_lines = lines[:len(bench.BATCH_SWEEP)]
+    assert all("partial" in rec for rec in sweep_lines[:-1])
+    assert "partial" not in sweep_lines[-1]
+    assert sweep_lines[0]["sweep"] == {str(bench.BATCH_SWEEP[0]):
+                                       100.0 + bench.BATCH_SWEEP[0] + 16}
+    # the variant arm is labeled, measured at its own head split, and does
+    # not displace the reference-exact headline
+    assert lines[-1]["tpu_split"] == {"2": 105.0, "8": 111.0}
+    assert lines[-1]["value"] == sweep_lines[-1]["value"]
 
 
 def test_main_salvages_partial_sweep_on_worker_timeout(monkeypatch, capsys):
