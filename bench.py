@@ -82,7 +82,8 @@ _FLOPS_PER_EVAL = 2 * 7 * (
 A100_ANCHOR = 312e12 * 0.05 / _FLOPS_PER_EVAL  # traj-steps/s
 
 
-def build_solver(batch: int, method: str = "euler", num_heads: int = 16) -> dict:
+def build_solver(batch: int, method: str = "euler", num_heads: int = 16,
+                 scan_layers: bool = None) -> dict:
     """The exact program the headline measures: full-size 4AA denoiser +
     Euler-10 probability-flow solve at the given batch. Shared with
     tools/capture_trace.py so the op-level trace profiles the same program
@@ -104,13 +105,18 @@ def build_solver(batch: int, method: str = "euler", num_heads: int = 16) -> dict
 
     # dopri5 arm: scan_layers=True matches the shipping eval config (the
     # non-smoke peptide stage-2 builder rolls the depth loop into nn.scan)
-    # AND keeps the bounded-while compile small — the UNROLLED depth-7
-    # dopri5 compile ran 23+ min and has wedged the TPU tunnel before
-    # (docs/STATUS.md). The Euler headline keeps the unrolled layout it has
-    # always measured.
+    # AND keeps the bounded-while compile small — the old 6x-inlined
+    # dopri5 body at depth 7 compiled 23+ min UNROLLED and wedged the TPU
+    # tunnel (docs/STATUS.md). Since the stage-scan rewrite
+    # (transport/integrators.py traces the drift once per while body) the
+    # unrolled layout is compile-feasible for dopri5 too —
+    # tools/measure_dopri5_layouts.py A/Bs it; ``scan_layers`` overrides.
+    # The Euler headline keeps the unrolled layout it has always measured.
+    if scan_layers is None:
+        scan_layers = method == "dopri5"
     model = LatentDiT(depth=7, in_dim=DIN, hidden_size=384, num_heads=num_heads,
                       mlp_ratio=2, n_timesteps=T, dtype=jnp.bfloat16,
-                      scan_layers=(method == "dopri5"))
+                      scan_layers=scan_layers)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, T, L, DIN))
     x_cond = jnp.zeros_like(x)
@@ -177,7 +183,7 @@ def measure(batch: int, num_heads: int = 16) -> float:
     return batch * NUM_STEPS / dt
 
 
-def measure_dopri5(batch: int = 8) -> dict:
+def measure_dopri5(batch: int = 8, scan_layers: bool = None) -> dict:
     """Protocol-sampler arm: the dopri5 atol 1e-6 / rtol 1e-3 solve the 4AA
     eval actually uses (configs/eval_peptide.yaml:23), at the protocol batch.
     Reports drift-evals/s (comparable to the Euler headline: both count DiT
@@ -191,7 +197,7 @@ def measure_dopri5(batch: int = 8) -> dict:
     import jax
     import jax.numpy as jnp
 
-    setup = build_solver(batch, method="dopri5")
+    setup = build_solver(batch, method="dopri5", scan_layers=scan_layers)
     solve, noise = setup["solve"], setup["noise"]
 
     @functools.partial(jax.jit, static_argnames="n_solves")

@@ -100,17 +100,21 @@ def sde_fixed(
     return x
 
 
-# Dormand–Prince 5(4) Butcher tableau.
+# Dormand–Prince 5(4) Butcher tableau. A is stored as a dense square
+# lower-triangular [7, 7] matrix so the stage loop can run as a lax.scan
+# over rows (stage i contracts row i against the stacked k's; the zero
+# entries above the diagonal multiply the not-yet-computed k slots).
 _DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
-_DP_A = [
-    jnp.array([]),
-    jnp.array([1 / 5]),
-    jnp.array([3 / 40, 9 / 40]),
-    jnp.array([44 / 45, -56 / 15, 32 / 9]),
-    jnp.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
-    jnp.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
-    jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]),
+_DP_A_ROWS = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
 ]
+_DP_A = jnp.array([row + [0.0] * (7 - len(row)) for row in _DP_A_ROWS])
 _DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
 _DP_B4 = jnp.array(
     [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
@@ -136,6 +140,13 @@ def ode_dopri5(
     ``max_steps`` cap (SURVEY §7 hard part #1); the error norm is the usual
     RMS of err / (atol + rtol * max(|y|, |y_new|)).
 
+    The 6 non-FSAL stage evaluations run as a ``lax.scan`` over tableau
+    rows, so ``drift_fn`` is traced ONCE into the while body instead of
+    six times — that keeps the compile small enough to use the UNROLLED
+    DiT layout (the 6x-inlined form at depth 7 compiled 23+ min and
+    wedged the TPU tunnel; see docs/PERF.md), which is the layout the
+    Euler headline measures.
+
     ``return_stats=True`` → ``(x, (n_iters, n_accepted))``: attempted and
     accepted step counts; NFE = 1 + 6 * n_iters by FSAL. Static python
     flag, jit-safe.
@@ -157,18 +168,25 @@ def ode_dopri5(
     def body(state):
         x, t, dt, k1, n, n_acc = state
         dt = jnp.minimum(dt, t1 - t)
-        ks = [k1]
-        for i in range(1, 7):
-            xi = x
-            for j, a in enumerate(_DP_A[i]):
-                xi = xi + dt * a * ks[j]
-            ks.append(drift_fn(xi, _tvec(x, t + dt * _DP_C[i])))
-        x5 = x
-        for b, k in zip(_DP_B5, ks):
-            x5 = x5 + dt * b * k
-        err = jnp.zeros_like(x)
-        for b5, b4, k in zip(_DP_B5, _DP_B4, ks):
-            err = err + dt * (b5 - b4) * k
+        ks0 = jnp.zeros((7,) + x.shape, x.dtype).at[0].set(k1)
+
+        def stage(ks, row):
+            a_row, c = row
+            xi = x + dt * jnp.tensordot(a_row, ks, axes=1)
+            return None, drift_fn(xi, _tvec(x, t + dt * c))
+
+        # rows 1..6; each contracts the full [7, ...] stack (zeros sit in
+        # the not-yet-filled slots) — O(x) extra elementwise traffic per
+        # stage, paid to keep the model traced once
+        def scan_body(carry, row):
+            ks, i = carry
+            _, ki = stage(ks, row)
+            return (ks.at[i].set(ki), i + 1), None
+
+        (ks, _), _ = lax.scan(scan_body, (ks0, jnp.int32(1)),
+                              (_DP_A[1:], _DP_C[1:]))
+        x5 = x + dt * jnp.tensordot(_DP_B5, ks, axes=1)
+        err = dt * jnp.tensordot(_DP_B5 - _DP_B4, ks, axes=1)
         ratio = err_norm(err, x, x5)
         accept = ratio <= 1.0
         factor = jnp.clip(
