@@ -19,6 +19,7 @@ training and tests without the 4AA download.
 
 import os
 import re
+import tempfile
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -211,10 +212,62 @@ class PeptideDataset(Dataset):
         else:
             for i in range(self.synthetic_peptides):
                 name = f"{self.synthetic_prefix}{i}"
+                cached = self._cache_load(name)
+                if cached is not None:
+                    self.trajectories.append(cached)
+                    continue
                 atom14, aatype = _synthetic_trajectory(name, n_frames=self.synthetic_frames)
-                self.trajectories.append(self._precompute(name, atom14, aatype))
+                traj = self._precompute(name, atom14, aatype)
+                self._cache_store(name, traj)
+                self.trajectories.append(traj)
         if not self.trajectories:
             raise ValueError("no peptide trajectories found")
+
+    # Bump when _synthetic_trajectory or _precompute_impl output changes —
+    # stale caches would otherwise silently survive code changes.
+    _CACHE_VERSION = 1
+
+    def _cache_path(self, name: str) -> Optional[str]:
+        """Node-local content-addressed cache for SYNTHETIC trajectories.
+
+        The FK + frames + torsions precompute runs ~10 s/trajectory of
+        op-by-op host JAX — ~25 min for the 128-peptide convergence set —
+        and every queue retry / parity arm regenerates identical data (it
+        is a pure function of (name, n_frames, shift, scale)). Real-data
+        trajectories are not cached (their content lives in files this key
+        cannot see). Disable with LAM_SLIDE_NO_DATA_CACHE=1."""
+        if os.environ.get("LAM_SLIDE_NO_DATA_CACHE") == "1":
+            return None
+        root = os.environ.get(
+            "LAM_SLIDE_DATA_CACHE",
+            os.path.join(tempfile.gettempdir(), "lam_slide_pepcache"))
+        key = f"{name}-f{self.synthetic_frames}-s{self.scale}-o{self.shift}-v{self._CACHE_VERSION}"
+        return os.path.join(root, f"{key}.npz")
+
+    def _cache_load(self, name: str):
+        path = self._cache_path(name)
+        if path is None or not os.path.exists(path):
+            return None
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                traj = {k: z[k] for k in z.files}
+        except Exception:
+            return None  # truncated/stale cache entry: regenerate
+        traj["name"] = name
+        traj["n_frames"] = int(traj.pop("_n_frames"))
+        return traj
+
+    def _cache_store(self, name: str, traj: dict) -> None:
+        path = self._cache_path(name)
+        if path is None:
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        arrays = {k: v for k, v in traj.items() if k not in ("name", "n_frames")}
+        arrays["_n_frames"] = np.asarray(traj["n_frames"])
+        # np.savez appends ".npz" unless the name already ends with it
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)  # atomic vs concurrent queue runners
 
     def _precompute(self, name: str, atom14: np.ndarray, aatype: np.ndarray):
         """Per-trajectory derived tensors (reference peptide.py:56-101).

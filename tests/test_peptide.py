@@ -80,6 +80,30 @@ class TestPeptideDataset:
             traj["atom14_mask"][0], pc.RESTYPE_ATOM14_MASK[traj["aatype"][0]].astype(bool)
         )
 
+    def test_synthetic_cache_roundtrip(self, tmp_path, monkeypatch):
+        """The node-local synthetic cache returns bit-identical trajectories
+        and invalidates on key inputs (frames/scale/version)."""
+        monkeypatch.setenv("LAM_SLIDE_DATA_CACHE", str(tmp_path))
+        kw = dict(first_stage=True, synthetic_peptides=2, synthetic_frames=60,
+                  n_timesteps=20)
+        fresh = PeptideDataset(**kw)
+        assert len(list(tmp_path.glob("*.npz"))) == 2
+        cached = PeptideDataset(**kw)
+        for a, b in zip(fresh.trajectories, cached.trajectories):
+            assert a["name"] == b["name"] and a["n_frames"] == b["n_frames"]
+            for k in ("atom14_pos", "atom14_mask", "atom14_pos_frame",
+                      "torsions", "torsions_mask", "aatype"):
+                np.testing.assert_array_equal(a[k], b[k])
+                assert a[k].dtype == b[k].dtype
+        # different frames -> different cache entries, not a stale hit
+        other = PeptideDataset(**{**kw, "synthetic_frames": 40})
+        assert other.trajectories[0]["n_frames"] == 40
+        # disable knob bypasses the cache entirely
+        monkeypatch.setenv("LAM_SLIDE_NO_DATA_CACHE", "1")
+        bypass = PeptideDataset(**kw)
+        np.testing.assert_array_equal(bypass.trajectories[0]["atom14_pos"],
+                                      fresh.trajectories[0]["atom14_pos"])
+
     def test_stage1_and_stage2_samples(self):
         rng = np.random.default_rng(0)
         ds1 = PeptideDataset(first_stage=True, synthetic_peptides=2, synthetic_frames=60,
