@@ -123,6 +123,10 @@ def main(argv=None):
         first_stage=False, n_timesteps=cfg2.num_timesteps,
         num_entities=fs_cfg.num_entities,
         synthetic_frames=max(4 * cfg2.num_timesteps, 200),
+        # reference trajectories must come from the generator the run was
+        # trained on (v1 random-walk vs v2 metastable dynamics)
+        synthetic_version=int(meta.get("launch", {}).get(
+            "exp_overrides", {}).get("synthetic_version", 1)),
     )
     outdir = args.outdir or os.path.join(
         info["run_dir"], "eval_control" if args.control else "eval")

@@ -99,13 +99,61 @@ def traj_to_atom14(xyz: np.ndarray, residues: List[Tuple[str, List[str]]]):
 # ---------------------------------------------------------------------------
 
 
-def _synthetic_trajectory(name: str, n_res: int = 4, n_frames: int = 400):
-    rng = np.random.default_rng(stable_seed(name))
+def _metastable_latent_path(rng, n_frames: int, k: int = 2, n_states: int = 3,
+                            mean_dwell_frac: float = 1 / 8):
+    """Low-dim latent path with metastable switching dynamics.
+
+    A hidden discrete state (semi-Markov, ~``1/mean_dwell_frac`` visits per
+    trajectory) selects an anchor in R^k; the continuous latent relaxes
+    toward the current anchor under OU noise. This is the minimal synthetic
+    stand-in for what makes real MD analyzable: long-lived basins a
+    TICA/MSM pipeline can actually find, and a low intrinsic dimension an
+    autoencoder can actually compress.
+    """
+    anchors = rng.uniform(-1.5, 1.5, size=(n_states, k))
+    p_switch = mean_dwell_frac  # per-frame switch hazard
+    s = int(rng.integers(n_states))
+    z = anchors[s].copy()
+    zs, states = np.empty((n_frames, k)), np.empty(n_frames, np.int64)
+    for t in range(n_frames):
+        if rng.random() < p_switch:
+            s = int((s + 1 + rng.integers(n_states - 1)) % n_states)
+        z = z + 0.15 * (anchors[s] - z) + 0.05 * rng.standard_normal(k)
+        zs[t], states[t] = z, s
+    return zs.astype(np.float32), states
+
+
+def _synthetic_angles(name: str, n_res: int, n_frames: int, version: int):
+    """Per-version torsion-angle generator -> [n_frames, n_res, 7] angles.
+
+    v1: independent random-walk torsions — full intrinsic dimension
+        (7·n_res), so reconstruction loss floors at the autoencoder
+        bottleneck and the trajectory has no metastable structure.
+    v2: a k=2 metastable latent path (see _metastable_latent_path) drives
+        all torsions through a fixed per-peptide linear map plus small iid
+        noise — compressible, with real basins for the eval pipeline's
+        TICA/MSM/JSD metrics to measure.
+    """
+    rng = np.random.default_rng(stable_seed(name if version == 1
+                                            else (name, "v2")))
     aatype = rng.integers(0, 20, size=n_res)
-    # slowly varying torsion angles
     base = rng.uniform(-np.pi, np.pi, size=(1, n_res, 7))
-    drift = np.cumsum(rng.standard_normal((n_frames, n_res, 7)) * 0.05, axis=0)
-    angles = base + drift
+    if version == 1:
+        drift = np.cumsum(rng.standard_normal((n_frames, n_res, 7)) * 0.05, axis=0)
+        angles = base + drift
+    elif version == 2:
+        z, _ = _metastable_latent_path(rng, n_frames)
+        w = rng.standard_normal((n_res, 7, z.shape[1])).astype(np.float32) * 0.9
+        angles = (base + np.einsum("rjk,tk->trj", w, z)
+                  + 0.03 * rng.standard_normal((n_frames, n_res, 7)))
+    else:
+        raise ValueError(f"unknown synthetic_version {version}")
+    return angles, aatype, rng
+
+
+def _synthetic_trajectory(name: str, n_res: int = 4, n_frames: int = 400,
+                          version: int = 1):
+    angles, aatype, rng = _synthetic_angles(name, n_res, n_frames, version)
     torsions = np.stack([np.sin(angles), np.cos(angles)], axis=-1).astype(np.float32)
     # backbone frames marching along x with gentle wobble
     trans = np.zeros((n_frames, n_res, 3), dtype=np.float32)
@@ -169,6 +217,13 @@ class PeptideDataset(Dataset):
     # provably disjoint synthetic train/val/test sets (the real split is the
     # data_dir itself, mirroring the reference's mdgen split csvs).
     synthetic_prefix: str = "synth"
+    # Generator version (see _synthetic_angles): 1 = independent
+    # random-walk torsions (full intrinsic dimension — reconstruction
+    # floors at the bottleneck, no metastable structure); 2 = k=2
+    # metastable latent dynamics (compressible, real basins for the
+    # TICA/MSM/JSD eval metrics). Committed convergence artifacts name
+    # which version they used.
+    synthetic_version: int = 1
     # Epoch-length multiplier: the reference keeps __len__ == n_trajectories
     # and draws a fresh random frame/window per visit, which at the real 4AA
     # scale (~3100 peptides) gives thousands of samples per epoch. A small
@@ -216,7 +271,9 @@ class PeptideDataset(Dataset):
                 if cached is not None:
                     self.trajectories.append(cached)
                     continue
-                atom14, aatype = _synthetic_trajectory(name, n_frames=self.synthetic_frames)
+                atom14, aatype = _synthetic_trajectory(
+                    name, n_frames=self.synthetic_frames,
+                    version=self.synthetic_version)
                 traj = self._precompute(name, atom14, aatype)
                 self._cache_store(name, traj)
                 self.trajectories.append(traj)
@@ -241,7 +298,8 @@ class PeptideDataset(Dataset):
         root = os.environ.get(
             "LAM_SLIDE_DATA_CACHE",
             os.path.join(tempfile.gettempdir(), "lam_slide_pepcache"))
-        key = f"{name}-f{self.synthetic_frames}-s{self.scale}-o{self.shift}-v{self._CACHE_VERSION}"
+        key = (f"{name}-f{self.synthetic_frames}-s{self.scale}-o{self.shift}"
+               f"-g{self.synthetic_version}-v{self._CACHE_VERSION}")
         return os.path.join(root, f"{key}.npz")
 
     def _cache_load(self, name: str):

@@ -554,7 +554,8 @@ def _pep_collate(samples):
 
 def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                         synthetic_peptides=None, synthetic_frames=None,
-                        repeats=1, batch_size=None, frame_holdout=0.0, **_):
+                        repeats=1, batch_size=None, frame_holdout=0.0,
+                        synthetic_version=1, **_):
     """frame_holdout > 0 (synthetic only): validate on the last ``h`` fraction
     of FRAMES of the training sequences instead of disjoint valsynth
     sequences — cross-sequence generalization needs the real ~3100-peptide
@@ -577,7 +578,7 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     kw = dict(num_entities=cfg.num_entities, n_timesteps=100,
               synthetic_peptides=synthetic_peptides or (4 if smoke else 8),
               synthetic_frames=synthetic_frames or (120 if smoke else 1200),
-              repeats=repeats)
+              repeats=repeats, synthetic_version=synthetic_version)
     if frame_holdout:
         kw["frame_split"] = (0.0, 1.0 - frame_holdout)
     train = PeptideDataset(data_dir=None if data_root is None else f"{data_root}/train",
@@ -611,7 +612,8 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                          first_stage_run=None, dit_dtype=None,
                          synthetic_peptides=None, synthetic_frames=None,
                          repeats=1, batch_size=None, n_timesteps=None,
-                         frame_holdout=0.0, num_heads=None, **_):
+                         frame_holdout=0.0, num_heads=None,
+                         synthetic_version=1, **_):
     if frame_holdout and data_root is not None:
         raise ValueError("frame_holdout is the synthetic-data validation "
                          "protocol; real data (data_root) uses the "
@@ -640,7 +642,7 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     kw = dict(num_entities=fs_cfg.num_entities, n_timesteps=n_t, first_stage=False,
               synthetic_peptides=synthetic_peptides or (2 if smoke else 8),
               synthetic_frames=synthetic_frames or (60 if smoke else 2000),
-              repeats=repeats)
+              repeats=repeats, synthetic_version=synthetic_version)
     tr_kw, val_kw = dict(kw), dict(kw, repeats=1)
     if frame_holdout:  # same sequences, temporally held-out windows
         tr_kw["frame_split"] = (0.0, 1.0 - frame_holdout)

@@ -104,6 +104,43 @@ class TestPeptideDataset:
         np.testing.assert_array_equal(bypass.trajectories[0]["atom14_pos"],
                                       fresh.trajectories[0]["atom14_pos"])
 
+    def test_synthetic_v2_structured(self):
+        """v2 trajectories are low-intrinsic-dimension (a k=2 latent drives
+        all torsions) with metastable switching — the properties that make
+        the autoencoder and the TICA/MSM/JSD eval meaningful on synthetic
+        data. v1 random-walk torsions have neither."""
+        from lam_slide_tpu.data.peptide import _synthetic_angles
+
+        ang2, aa2, _ = _synthetic_angles("synth0", 4, 600, version=2)
+        ang2b, aa2b, _ = _synthetic_angles("synth0", 4, 600, version=2)
+        np.testing.assert_array_equal(ang2, ang2b)  # deterministic by name
+        np.testing.assert_array_equal(aa2, aa2b)
+        ang1, _, _ = _synthetic_angles("synth0", 4, 600, version=1)
+        assert not np.allclose(ang2, ang1)
+
+        def top2_var_frac(a):
+            x = a.reshape(len(a), -1)
+            x = x - x.mean(0)
+            s = np.linalg.svd(x, compute_uv=False)
+            return float((s[:2] ** 2).sum() / (s**2).sum())
+
+        # v2: two latent modes explain almost all torsion variance; v1
+        # random walks spread variance across many directions
+        assert top2_var_frac(ang2) > 0.9
+        assert top2_var_frac(ang1) < 0.8
+
+    def test_dataset_synthetic_version_plumbs(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("LAM_SLIDE_DATA_CACHE", str(tmp_path))
+        kw = dict(first_stage=True, synthetic_peptides=1, synthetic_frames=60,
+                  n_timesteps=20)
+        d1 = PeptideDataset(**kw)
+        d2 = PeptideDataset(**kw, synthetic_version=2)
+        assert not np.allclose(d1.trajectories[0]["atom14_pos"],
+                               d2.trajectories[0]["atom14_pos"])
+        # distinct cache entries per generator version
+        assert len(list(tmp_path.glob("*-g1-*.npz"))) == 1
+        assert len(list(tmp_path.glob("*-g2-*.npz"))) == 1
+
     def test_stage1_and_stage2_samples(self):
         rng = np.random.default_rng(0)
         ds1 = PeptideDataset(first_stage=True, synthetic_peptides=2, synthetic_frames=60,
