@@ -47,7 +47,14 @@ def main():
     p.add_argument("--pep-s2-epochs", type=int, default=1000)
     p.add_argument("--skip-md17", action="store_true")
     p.add_argument("--skip-peptide", action="store_true")
+    p.add_argument("--synthetic-version", type=int, default=1,
+                   help="peptide synthetic generator (data/peptide.py "
+                        "_synthetic_angles): 1 = random-walk torsions, "
+                        "2 = metastable low-dim latent dynamics. v2 runs "
+                        "land as conv-pep2-* so both chains stay committed.")
     args = p.parse_args()
+    pep_suffix = "" if args.synthetic_version == 1 else str(args.synthetic_version)
+    sv = f"synthetic_version={args.synthetic_version}"
 
     from lam_slide_tpu.train.cli import main as train_main
 
@@ -81,7 +88,10 @@ def main():
         ])
 
     if not args.skip_peptide:
-        phase("peptide stage 1 (full width, 128 synthetic peptides)")
+        s1_id = f"conv-pep{pep_suffix}-s1"
+        s2_id = f"conv-pep{pep_suffix}-s2"
+        phase(f"peptide stage 1 (full width, 128 synthetic peptides, "
+              f"generator v{args.synthetic_version})")
         # Round-3 verdict weak #2: 8 trajectories at bs=512 was one batch-8
         # step per epoch — the committed artifact could not distinguish
         # "can't learn" from "8 data points". 128 distinct train sequences
@@ -90,8 +100,9 @@ def main():
         # fall >=5x (single-batch overfit reaches pos 0.14 in 2k steps).
         train_main([
             "--experiment", "peptide_first_stage",
-            "--workspace", ws, "--run-id", "conv-pep-s1", "--no-mesh",
+            "--workspace", ws, "--run-id", s1_id, "--no-mesh",
             "--epochs", str(args.pep_s1_epochs),
+            "--exp-set", sv,
             "--exp-set", "synthetic_peptides=128",
             "--exp-set", "synthetic_frames=600",
             "--exp-set", "repeats=4",
@@ -107,9 +118,10 @@ def main():
         phase("peptide stage 2 (lineage)")
         train_main([
             "--experiment", "peptide_second_stage",
-            "--workspace", ws, "--run-id", "conv-pep-s2", "--no-mesh",
-            "--first-stage-run", "conv-pep-s1",
+            "--workspace", ws, "--run-id", s2_id, "--no-mesh",
+            "--first-stage-run", s1_id,
             "--epochs", str(args.pep_s2_epochs),
+            "--exp-set", sv,
             "--exp-set", "synthetic_peptides=16",
             "--exp-set", "synthetic_frames=4000",
             "--exp-set", "repeats=4",
@@ -122,7 +134,7 @@ def main():
         from lam_slide_tpu.analysis.eval_cli import main as eval_main
 
         eval_main([
-            "--run", "conv-pep-s2", "--workspace", ws,
+            "--run", s2_id, "--workspace", ws,
             "--num-rollouts", "3",
         ])
 
@@ -130,7 +142,7 @@ def main():
         # The JSD gap between the trained run and this arm is the committed
         # evidence that training — not the pipeline — produces the numbers.
         eval_main([
-            "--run", "conv-pep-s2", "--workspace", ws,
+            "--run", s2_id, "--workspace", ws,
             "--num-rollouts", "3", "--control",
         ])
 

@@ -40,6 +40,13 @@ wait_for_r4() {
     [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on r4"; return 1; }
     sleep 60
   done
+  # also run behind the v2 chain (tools/onchip_r4f.sh) — one chip
+  local pid
+  while pid=$(cat "$LOGDIR/r4f.pid" 2>/dev/null) && [ -n "$pid" ] \
+      && kill -0 "$pid" 2>/dev/null; do
+    [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on r4f"; return 1; }
+    sleep 60
+  done
   [ -e "$LOGDIR/pep_convergence.ok" ] || { note "r4 done but no pep lineage"; return 1; }
   return 0
 }

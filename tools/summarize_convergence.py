@@ -63,10 +63,17 @@ def main():
          [("val/aspirin", "val/aspirin/si_loss", "val si_loss"),
           ("train", "train/si_loss", "train si_loss"),
           ("hook/val_sample", "val_sample/ade", "sampled val ADE (K=5)")]),
-        ("conv-pep-s1", "Peptide stage 1 (full width)",
+        ("conv-pep-s1", "Peptide stage 1 (full width, generator v1 random-walk)",
          [("val/val", "val/val/pos_loss", "val pos_loss"),
           ("train", "train/pos_loss", "train pos_loss")]),
         ("conv-pep-s2", "Peptide stage 2 (lineage from conv-pep-s1)",
+         [("val/val", "val/val/si_loss", "val si_loss"),
+          ("train", "train/si_loss", "train si_loss")]),
+        ("conv-pep2-s1",
+         "Peptide stage 1 (full width, generator v2 metastable dynamics)",
+         [("val/val", "val/val/pos_loss", "val pos_loss"),
+          ("train", "train/pos_loss", "train pos_loss")]),
+        ("conv-pep2-s2", "Peptide stage 2 (lineage from conv-pep2-s1)",
          [("val/val", "val/val/si_loss", "val si_loss"),
           ("train", "train/si_loss", "train si_loss")]),
     ]
@@ -90,11 +97,15 @@ def main():
                          + ", ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
         lines.append("")
 
-    ev = os.path.join(ws, "conv-pep-s2", "eval", "metrics.json")
-    ctrl = os.path.join(ws, "conv-pep-s2", "eval_control", "metrics.json")
-    if os.path.exists(ev):
+    for run_id, gen_label in (("conv-pep-s2", "generator v1"),
+                              ("conv-pep2-s2", "generator v2")):
+        ev = os.path.join(ws, run_id, "eval", "metrics.json")
+        ctrl = os.path.join(ws, run_id, "eval_control", "metrics.json")
+        if not os.path.exists(ev):
+            continue
         data = json.load(open(ev))
-        lines += ["## Peptide eval pipeline (dopri5 protocol)", "",
+        lines += [f"## Peptide eval pipeline (dopri5 protocol, {gen_label}, "
+                  f"`{run_id}`)", "",
                   "```json", json.dumps(data["summary"], indent=2), "```", ""]
         if os.path.exists(ctrl):
             cdata = json.load(open(ctrl))
