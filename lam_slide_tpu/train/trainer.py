@@ -99,6 +99,11 @@ class MetricLogger:
             parts = [f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()]
             print("  " + " ".join(parts), flush=True)
 
+    def reset(self):
+        """Truncate the JSONL stream (fresh fit into a reused run dir)."""
+        self._f.close()
+        self._f = open(self.path, "w")
+
     def close(self):
         self._f.close()
         # External sinks are per-fit: a wandb run, once finished, rejects
@@ -160,6 +165,12 @@ class Trainer:
             start_epoch = int(state.step) // steps_per_epoch
             if not self.quiet:
                 print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+        else:
+            # Fresh fit into a reused run dir: truncate the metric stream so
+            # the committed curve is this run's, not an interleaving with a
+            # superseded attempt (the r3 convergence artifact carried such a
+            # two-segment file and had to caveat it in docs/CONVERGENCE.md).
+            self.logger.reset()
 
         # Tensor parallelism: a mesh with model-axis > 1 carries the
         # TP-sharded state (parallel/tp.py); the steps must respect the

@@ -153,12 +153,25 @@ def test_trainer_fit_val_ckpt_resume(tmp_path):
     assert (tmp_path / "run" / "metrics.jsonl").exists()
     assert (tmp_path / "run" / "checkpoints" / "best").exists()
 
-    # resume continues from the checkpointed step with more epochs
+    # resume continues from the checkpointed step with more epochs, and
+    # APPENDS to the metric stream
+    import json as _json
+    n_recs_first = len(open(tmp_path / "run" / "metrics.jsonl").readlines())
     cfg2 = TrainerConfig(max_epochs=5, lr=1e-2, monitor="loss")
     trainer2 = Trainer(cfg2, loss_fn, str(tmp_path / "run"), quiet=True)
     state2 = trainer2.fit(variables, OneBatchLoader(), {"val": OneBatchLoader()},
                           resume=True)
     assert int(state2.step) == 10
+    assert len(open(tmp_path / "run" / "metrics.jsonl").readlines()) > n_recs_first
+
+    # a FRESH fit into the same run dir truncates the stream — the
+    # committed curve is one run's, never an interleaving of attempts
+    trainer3 = Trainer(cfg, loss_fn, str(tmp_path / "run"), quiet=True)
+    trainer3.fit(variables, OneBatchLoader(), {"val": OneBatchLoader()})
+    recs = [_json.loads(l)
+            for l in open(tmp_path / "run" / "metrics.jsonl")]
+    epochs = [r["epoch"] for r in recs if r.get("split") == "train"]
+    assert epochs == sorted(epochs) and len(epochs) == 3
 
 
 def test_fit_failure_logs_and_saves_last(tmp_path):

@@ -65,7 +65,7 @@ def main():
         phase("md17 stage 1 (aspirin, full width)")
         train_main([
             "--experiment", "md17_first_stage", "--molecule", "aspirin",
-            "--workspace", ws, "--run-id", "conv-md17-s1", "--no-mesh",
+            "--workspace", ws, "--run-id", "conv-md17-s1", "--no-mesh", "--resume",
             "--epochs", str(args.md17_s1_epochs),
             "--set", "val_every_n_epochs=4",
             # the default synthetic fallback (4000 frames) yields too few
@@ -77,7 +77,7 @@ def main():
         phase("md17 stage 2 (lineage, in-loop ADE/FDE hook, fp32 --test)")
         train_main([
             "--experiment", "md17_second_stage", "--molecule", "aspirin",
-            "--workspace", ws, "--run-id", "conv-md17-s2", "--no-mesh",
+            "--workspace", ws, "--run-id", "conv-md17-s2", "--no-mesh", "--resume",
             "--first-stage-run", "conv-md17-s1",
             "--epochs", str(args.md17_s2_epochs),
             "--set", "val_every_n_epochs=2", "--test",
@@ -100,7 +100,7 @@ def main():
         # fall >=5x (single-batch overfit reaches pos 0.14 in 2k steps).
         train_main([
             "--experiment", "peptide_first_stage",
-            "--workspace", ws, "--run-id", s1_id, "--no-mesh",
+            "--workspace", ws, "--run-id", s1_id, "--no-mesh", "--resume",
             "--epochs", str(args.pep_s1_epochs),
             "--exp-set", sv,
             "--exp-set", "synthetic_peptides=128",
@@ -118,7 +118,7 @@ def main():
         phase("peptide stage 2 (lineage)")
         train_main([
             "--experiment", "peptide_second_stage",
-            "--workspace", ws, "--run-id", s2_id, "--no-mesh",
+            "--workspace", ws, "--run-id", s2_id, "--no-mesh", "--resume",
             "--first-stage-run", s1_id,
             "--epochs", str(args.pep_s2_epochs),
             "--exp-set", sv,
