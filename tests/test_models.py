@@ -156,6 +156,19 @@ class TestLatentDiT:
         mask = jnp.zeros((B, self.T, self.LT), dtype=jnp.int32).at[:, :2].set(1)
         return x, t, x_cond, mask
 
+    def test_head_split_same_param_count(self):
+        """The head-split A/B knob (PERF.md dh lane tax) only reshapes the
+        attention view: every split of the same hidden width has an
+        IDENTICAL parameter tree (shape-for-shape), so throughput A/Bs
+        compare equal-capacity models."""
+        key = jax.random.PRNGKey(0)
+        x, t, x_cond, mask = self._inputs(key)
+        trees = {}
+        for h in (2, 4, 8):
+            v = self._make(num_heads=h).init(key, x, t, x_cond, mask)
+            trees[h] = jax.tree.map(lambda a: a.shape, v["params"])
+        assert trees[2] == trees[4] == trees[8]
+
     def test_output_shape_and_zero_init(self):
         key = jax.random.PRNGKey(4)
         model = self._make()
