@@ -163,11 +163,18 @@ class TestLatentDiT:
         compare equal-capacity models."""
         key = jax.random.PRNGKey(0)
         x, t, x_cond, mask = self._inputs(key)
-        trees = {}
+        trees, counts = {}, {}
         for h in (2, 4, 8):
             v = self._make(num_heads=h).init(key, x, t, x_cond, mask)
-            trees[h] = jax.tree.map(lambda a: a.shape, v["params"])
+            flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+            counts[h] = sum(a.size for _, a in flat)
+            # every tensor except the per-head-dim QKNorm scales is
+            # shape-identical across splits
+            trees[h] = {jax.tree_util.keystr(p): a.shape for p, a in flat
+                        if "norm_scale" not in jax.tree_util.keystr(p)}
         assert trees[2] == trees[4] == trees[8]
+        # the norm scales differ by O(dh) params — <0.5% of the model
+        assert max(counts.values()) - min(counts.values()) < 0.005 * counts[4]
 
     def test_output_shape_and_zero_init(self):
         key = jax.random.PRNGKey(4)
