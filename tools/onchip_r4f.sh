@@ -20,8 +20,12 @@ export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
 one_pass() {
+  # s2 at 600 epochs (vs the v1 chain's 1000): the v1 curve shows val
+  # si_loss already well-converged by then, and the remaining wall-clock
+  # this round has to also fit the parity/measurement queues behind this.
   run_step pep2_convergence 7200 python tools/convergence.py \
-    --skip-md17 --synthetic-version 2 --workspace runs/convergence
+    --skip-md17 --synthetic-version 2 --pep-s2-epochs 600 \
+    --workspace runs/convergence
 }
 
 wait_for_runner_exit "$LOGDIR/r4.pid" || exit 1
