@@ -46,6 +46,13 @@ def main(argv=None):
                         "— same protocol (rollouts/windows/solver); the "
                         "per-window noise draw is shared across the batch, "
                         "so per-peptide samples differ from a serial run's")
+    p.add_argument("--unroll", action="store_true",
+                   help="evaluate a scan_layers-trained checkpoint with the "
+                        "UNROLLED DiT layout (stacked per-layer params are "
+                        "unstacked; identical math — pinned by "
+                        "test_eval_unroll_layout_parity). The unrolled "
+                        "layout lets XLA fuse across layer boundaries that "
+                        "nn.scan pins; A/B: tools/measure_dopri5_layouts.py")
     p.add_argument("--control", action="store_true",
                    help="random-model control: discard the trained DiT weights "
                         "and sample from a fresh random init (same architecture, "
@@ -96,6 +103,13 @@ def main(argv=None):
         if k in PeptideFirstStageConfig.__dataclass_fields__
     })
     fs_model = build_peptide_first_stage(fs_cfg)
+    if args.unroll and cfg2.scan_layers:
+        from dataclasses import replace
+
+        from lam_slide_tpu.models.latent_dit import unstack_layer_params
+
+        cfg2 = replace(cfg2, scan_layers=False)
+        params = unstack_layer_params(params, cfg2.depth)
     ss = build_peptide_second_stage(cfg2, fs_model, fs_vars)
 
     if args.control:

@@ -42,6 +42,51 @@ def peptide_world():
     return ss, params, fs_vars, traj
 
 
+def test_eval_unroll_layout_parity(peptide_world):
+    """eval_cli --unroll semantics: a scan_layers-trained checkpoint
+    evaluated through the unrolled model (dataclasses.replace cfg +
+    unstack_layer_params) samples the identical trajectory."""
+    from dataclasses import replace
+
+    from lam_slide_tpu.models.latent_dit import stack_layer_params, unstack_layer_params
+
+    _, _, fs_vars, traj = peptide_world
+    fs_cfg = PeptideFirstStageConfig(
+        num_entities=8, dim_input=32, dim_latent=16, dim_entity=32, num_latents=2,
+        num_split=4, dim_head_cross=8, dim_head_latent=8, dropout_query=0.0,
+    )
+    fs = build_peptide_first_stage(fs_cfg)
+    T = 10
+    cfg_scan = PeptideSecondStageConfig(depth=2, in_dim=16, hidden_size=16,
+                                        num_heads=2, cond_idx=(0, 1),
+                                        num_timesteps=T, scan_layers=True)
+    ss_scan = build_peptide_second_stage(cfg_scan, fs, fs_vars)
+    ds = PeptideDataset(first_stage=False, synthetic_peptides=1, synthetic_frames=80,
+                        n_timesteps=T, num_entities=8)
+    s = ds.sample(0, np.random.default_rng(0))
+    batch = {k: jnp.asarray(np.stack([v])) for k, v in s.items()}
+    batch["attention_mask"] = jnp.ones(batch["aatype"].shape, bool)
+    x1, mk = ss_scan.prepare_batch(fs_vars, batch)
+    params_scan = ss_scan.backbone.init(jax.random.PRNGKey(1), x1, jnp.zeros((1,)),
+                                        mk["x_cond"], mk["x_cond_mask"])["params"]
+
+    cfg_unroll = replace(cfg_scan, scan_layers=False)
+    ss_unroll = build_peptide_second_stage(cfg_unroll, fs, fs_vars)
+    params_unroll = unstack_layer_params(params_scan, cfg_scan.depth)
+
+    kw = {"sampling_method": "euler", "num_steps": 2}
+    out_scan = jax.jit(ss_scan.make_sample_fn(sampling_kwargs=kw))(
+        params_scan, fs_vars, batch, jax.random.PRNGKey(3))
+    out_unroll = jax.jit(ss_unroll.make_sample_fn(sampling_kwargs=kw))(
+        params_unroll, fs_vars, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(out_scan["atom14_pos"]),
+                               np.asarray(out_unroll["atom14_pos"]),
+                               atol=2e-5)
+    # and the inverse direction round-trips
+    back = stack_layer_params(params_unroll, cfg_scan.depth)
+    assert jax.tree.all(jax.tree.map(np.array_equal, back, params_scan))
+
+
 def test_rollout_sampler(peptide_world):
     ss, params, fs_vars, traj = peptide_world
     sampler = RolloutSampler(
