@@ -283,10 +283,14 @@ def worker() -> None:
     # TPU-native head-split arm (3 x dh=128) at the measured-best batches;
     # a labeled variant next to the reference-exact headline (skippable for
     # opportunistic short-window runs)
+    # Unlike the dh=24 reference split (which peaks at B=2 — its HBM-bound
+    # relayout/glue degrades with batch), the packed dh=128 layout SCALES
+    # UP in B (measured 2026-08-21: 976.8 @B=2 vs 1035.4 @B=8), so the
+    # variant sweep continues where the reference-split sweep stops.
     tpu_split = None
     if os.environ.get("LAM_SLIDE_BENCH_NO_TPU_SPLIT") != "1":
         tpu_split = {}
-        for b in (2, 8):
+        for b in (2, 8, 16, 32):
             try:
                 tpu_split[str(b)] = round(measure(b, num_heads=3), 2)
                 print(f"# tpu_split B={b}: {tpu_split[str(b)]}",

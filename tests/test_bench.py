@@ -72,7 +72,8 @@ def test_worker_reprints_result_after_every_point(monkeypatch, capsys):
                                        100.0 + bench.BATCH_SWEEP[0] + 16}
     # the variant arm is labeled, measured at its own head split, and does
     # not displace the reference-exact headline
-    assert lines[-1]["tpu_split"] == {"2": 105.0, "8": 111.0}
+    assert lines[-1]["tpu_split"] == {"2": 105.0, "8": 111.0,
+                                      "16": 119.0, "32": 135.0}
     assert lines[-1]["value"] == sweep_lines[-1]["value"]
 
 
