@@ -40,11 +40,11 @@ wait_for_r4() {
     [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on r4"; return 1; }
     sleep 60
   done
-  # also run behind the v2 chain (tools/onchip_r4f.sh) — one chip
+  # also run behind the bench-warm runner (tools/onchip_r4g.sh) — one chip
   local pid
-  while pid=$(cat "$LOGDIR/r4f.pid" 2>/dev/null) && [ -n "$pid" ] \
+  while pid=$(cat "$LOGDIR/r4g.pid" 2>/dev/null) && [ -n "$pid" ] \
       && kill -0 "$pid" 2>/dev/null; do
-    [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on r4f"; return 1; }
+    [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on r4g"; return 1; }
     sleep 60
   done
   [ -e "$LOGDIR/pep_convergence.ok" ] || { note "r4 done but no pep lineage"; return 1; }
@@ -102,7 +102,7 @@ train_parity() { # heads
   python -m lam_slide_tpu.train.cli \
     --experiment peptide_second_stage \
     --workspace runs/convergence --run-id "conv-pep-s2-h$h" --no-mesh \
-    --first-stage-run conv-pep-s1 --epochs 1000 \
+    --first-stage-run conv-pep-s1 --epochs 1000 --resume \
     --exp-set "num_heads=$h" \
     --exp-set synthetic_peptides=16 --exp-set synthetic_frames=4000 \
     --exp-set repeats=4 --exp-set frame_holdout=0.3 \
