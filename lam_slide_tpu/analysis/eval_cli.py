@@ -62,6 +62,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from lam_slide_tpu.analysis.eval_peptide import EvalConfig, evaluate_peptides

@@ -42,6 +42,32 @@ def peptide_world():
     return ss, params, fs_vars, traj
 
 
+@pytest.mark.slow
+def test_eval_cli_trained_and_control_smoke(tmp_path):
+    """eval_cli main() end-to-end on a CPU smoke lineage, BOTH arms — the
+    trained eval and the --control random-init arm (the control branch has
+    its own model-rebuild code path; a NameError there once survived every
+    unit test because only the tool's main() exercises it)."""
+    import json
+
+    from lam_slide_tpu.analysis.eval_cli import main as eval_main
+    from lam_slide_tpu.train.cli import main as train_main
+
+    ws = str(tmp_path / "ws")
+    train_main(["--experiment", "peptide_first_stage", "--smoke",
+                "--workspace", ws, "--run-id", "s1", "--no-mesh"])
+    train_main(["--experiment", "peptide_second_stage", "--smoke",
+                "--workspace", ws, "--run-id", "s2", "--no-mesh",
+                "--first-stage-run", "s1"])
+    for extra in ([], ["--control"]):
+        eval_main(["--run", "s2", "--workspace", ws, "--num-rollouts", "1",
+                   "--sampling-method", "euler", "--num-steps", "2",
+                   "--no-msm", "--no-decorr", *extra])
+    for sub in ("eval", "eval_control"):
+        m = json.load(open(tmp_path / "ws" / "s2" / sub / "metrics.json"))
+        assert "summary" in m and np.isfinite(m["summary"]["ALL"])
+
+
 def test_eval_unroll_layout_parity(peptide_world):
     """eval_cli --unroll semantics: a scan_layers-trained checkpoint
     evaluated through the unrolled model (dataclasses.replace cfg +
