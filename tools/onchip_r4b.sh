@@ -40,12 +40,16 @@ wait_for_r4() {
     [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on r4"; return 1; }
     sleep 60
   done
-  # also run behind the bench-warm runner (tools/onchip_r4g.sh) — one chip
-  local pid
-  while pid=$(cat "$LOGDIR/r4g.pid" 2>/dev/null) && [ -n "$pid" ] \
-      && kill -0 "$pid" 2>/dev/null; do
-    [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on r4g"; return 1; }
-    sleep 60
+  # also run behind the bench-warm and v2-chain runners — one chip; the
+  # v2 chain goes first (the v1 control inversion made it the decisive
+  # gate-2 artifact this round)
+  local pid p
+  for p in r4g r4f; do
+    while pid=$(cat "$LOGDIR/$p.pid" 2>/dev/null) && [ -n "$pid" ] \
+        && kill -0 "$pid" 2>/dev/null; do
+      [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on $p"; return 1; }
+      sleep 60
+    done
   done
   [ -e "$LOGDIR/pep_convergence.ok" ] || { note "r4 done but no pep lineage"; return 1; }
   return 0

@@ -30,8 +30,7 @@ one_pass() {
 
 wait_for_runner_exit "$LOGDIR/r4.pid" || exit 1
 wait_for_runner_exit "$LOGDIR/r4g.pid" || exit 1
-wait_for_runner_exit "$LOGDIR/r4b.pid" || exit 1
-note "r4/r4g/r4b finished; starting v2 convergence chain"
+note "r4/r4g finished; starting v2 convergence chain"
 one_pass
 for pass in 2 3; do
   [ "$SECONDS" -ge "$DEADLINE" ] && break
