@@ -40,11 +40,12 @@ wait_for_r4() {
     [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on r4"; return 1; }
     sleep 60
   done
-  # also run behind the bench-warm and v2-chain runners — one chip; the
-  # v2 chain goes first (the v1 control inversion made it the decisive
-  # gate-2 artifact this round)
+  # also run behind the bench-warm, v2-chain, and short-measurement
+  # runners — one chip; the short A/Bs go first (they COMPLETE in
+  # minutes; a partial parity training is still usable evidence, a
+  # partial A/B is not)
   local pid p
-  for p in r4g r4f; do
+  for p in r4g r4f r4d r4e; do
     while pid=$(cat "$LOGDIR/$p.pid" 2>/dev/null) && [ -n "$pid" ] \
         && kill -0 "$pid" 2>/dev/null; do
       [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on $p"; return 1; }

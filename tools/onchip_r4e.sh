@@ -26,9 +26,8 @@ one_pass() {
 
 wait_for_runner_exit "$LOGDIR/r4.pid" || exit 1
 wait_for_runner_exit "$LOGDIR/r4f.pid" || exit 1
-wait_for_runner_exit "$LOGDIR/r4b.pid" || exit 1
 wait_for_runner_exit "$LOGDIR/r4d.pid" || exit 1
-note "r4/r4f/r4b/r4d finished; starting short-attention arms"
+note "r4/r4f/r4d finished; starting short-attention arms"
 one_pass
 for pass in 2 3; do
   [ "$SECONDS" -ge "$DEADLINE" ] && break
