@@ -45,7 +45,7 @@ wait_for_r4() {
   # minutes; a partial parity training is still usable evidence, a
   # partial A/B is not)
   local pid p
-  for p in r4g r4f r4d r4e; do
+  for p in r4g r4f r4d r4e r4h; do
     while pid=$(cat "$LOGDIR/$p.pid" 2>/dev/null) && [ -n "$pid" ] \
         && kill -0 "$pid" 2>/dev/null; do
       [ "$SECONDS" -ge "$DEADLINE" ] && { note "deadline while waiting on $p"; return 1; }
