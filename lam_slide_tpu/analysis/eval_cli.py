@@ -137,6 +137,10 @@ def main(argv=None):
         data_dir=None if args.data_root is None else args.data_root,
         first_stage=False, n_timesteps=cfg2.num_timesteps,
         num_entities=fs_cfg.num_entities,
+        # reference trajectories in the run's normalized coordinate units
+        # (torsion/TICA/MSM JSD are invariant to the uniform scale; the
+        # conditioning frames fed to the sampler must match training units)
+        scale=fs_cfg.scale, shift=fs_cfg.shift,
         synthetic_frames=max(4 * cfg2.num_timesteps, 200),
         # reference trajectories must come from the generator the run was
         # trained on (v1 random-walk vs v2 metastable dynamics)

@@ -313,6 +313,13 @@ class PeptideDataset(Dataset):
             return None  # truncated/stale cache entry: regenerate
         traj["name"] = name
         traj["n_frames"] = int(traj.pop("_n_frames"))
+        # Mirror the _precompute_impl length guard: a trajectory cached by
+        # a first-stage dataset must not silently load into a second-stage
+        # dataset whose windows don't fit (advisor r4 — the failure
+        # otherwise surfaces later in sample() as a misleading
+        # frame_split error).
+        if traj["n_frames"] <= self.n_timesteps + 1 and not self.first_stage:
+            raise ValueError(f"trajectory {name} shorter than n_timesteps")
         return traj
 
     def _cache_store(self, name: str, traj: dict) -> None:

@@ -555,7 +555,7 @@ def _pep_collate(samples):
 def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
                         synthetic_peptides=None, synthetic_frames=None,
                         repeats=1, batch_size=None, frame_holdout=0.0,
-                        synthetic_version=1, **_):
+                        synthetic_version=1, scale=1.0, **_):
     """frame_holdout > 0 (synthetic only): validate on the last ``h`` fraction
     of FRAMES of the training sequences instead of disjoint valsynth
     sequences — cross-sequence generalization needs the real ~3100-peptide
@@ -571,11 +571,20 @@ def peptide_first_stage(smoke=False, data_root=None, workspace="runs", seed=0,
     )
     from lam_slide_tpu.data.peptide import PeptideDataset
 
-    cfg = PeptideFirstStageConfig() if not smoke else PeptideFirstStageConfig(
+    # scale: coordinate normalization divisor (reference `scale` hparam,
+    # configs/experiment/peptide/first-stage.yaml). The real 4AA protocol is
+    # scale=1 over mdtraj NANOMETER coordinates; the synthetic generator
+    # emits ANGSTROM-scale geometry (AlphaFold tables), so scale=10 is the
+    # protocol-faithful synthetic setting — at scale=1 every position loss
+    # runs 100x the reference magnitude and the scale-independent aatype CE
+    # term is effectively 100x weaker than the reference loss mix.
+    scale = float(scale)
+    cfg = (PeptideFirstStageConfig(scale=scale) if not smoke
+           else PeptideFirstStageConfig(
         dim_input=32, dim_latent=16, dim_entity=32, num_latents=2, num_split=4,
-        dim_head_cross=8, dim_head_latent=8)
+        dim_head_cross=8, dim_head_latent=8, scale=scale))
     model = build_peptide_first_stage(cfg)
-    kw = dict(num_entities=cfg.num_entities, n_timesteps=100,
+    kw = dict(num_entities=cfg.num_entities, n_timesteps=100, scale=scale,
               synthetic_peptides=synthetic_peptides or (4 if smoke else 8),
               synthetic_frames=synthetic_frames or (120 if smoke else 1200),
               repeats=repeats, synthetic_version=synthetic_version)
@@ -639,7 +648,9 @@ def peptide_second_stage(smoke=False, data_root=None, workspace="runs", seed=0,
         raise ValueError("peptide_second_stage requires first_stage_run")
     fs_model = build_peptide_first_stage(fs_cfg)
 
+    # datasets inherit the stage-1 lineage's coordinate normalization
     kw = dict(num_entities=fs_cfg.num_entities, n_timesteps=n_t, first_stage=False,
+              scale=fs_cfg.scale, shift=fs_cfg.shift,
               synthetic_peptides=synthetic_peptides or (2 if smoke else 8),
               synthetic_frames=synthetic_frames or (60 if smoke else 2000),
               repeats=repeats, synthetic_version=synthetic_version)

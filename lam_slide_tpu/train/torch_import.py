@@ -270,7 +270,21 @@ def import_first_stage(backbone_sd: Dict[str, Any],
         "post_quant": _dense(backbone_sd["post_quant.1.weight"],
                              backbone_sd["post_quant.1.bias"]),
     }
-    constants = {"embed_entity": _emb(backbone_sd["embed_entity.embedding.weight"])}
+    # The frozen orthogonal entity table: framework-layout checkpoints carry
+    # it at backbone level (embed_entity.*); a GENUINE reference Backbone
+    # registers one EntityEmbeddingOrthogonal module inside encoder AND
+    # decoder (first_stage/peptide.py:36-39 passes the same instance to
+    # both), so its only state_dict keys are
+    # {encoder,decoder}.entity_embedding.embedding.weight.
+    for key in ("embed_entity.embedding.weight",
+                "encoder.entity_embedding.embedding.weight",
+                "decoder.entity_embedding.embedding.weight"):
+        if key in backbone_sd:
+            entity_w = backbone_sd[key]
+            break
+    else:
+        raise KeyError("no entity-embedding table in state_dict")
+    constants = {"embed_entity": _emb(entity_w)}
     return {"params": params, "constants": constants}
 
 

@@ -12,6 +12,7 @@ device_put with batch-axis sharding before the step.
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Iterable, Mapping, Optional
@@ -99,6 +100,15 @@ class MetricLogger:
             parts = [f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}" for k, v in record.items()]
             print("  " + " ".join(parts), flush=True)
 
+    def backup(self):
+        """Copy a non-empty existing stream to metrics.jsonl.bak; return the
+        backup path (None when there was nothing to save)."""
+        if not (os.path.exists(self.path) and os.path.getsize(self.path)):
+            return None
+        bak = self.path + ".bak"
+        shutil.copyfile(self.path, bak)
+        return bak
+
     def reset(self):
         """Truncate the JSONL stream (fresh fit into a reused run dir)."""
         self._f.close()
@@ -170,6 +180,15 @@ class Trainer:
             # the committed curve is this run's, not an interleaving with a
             # superseded attempt (the r3 convergence artifact carried such a
             # two-segment file and had to caveat it in docs/CONVERGENCE.md).
+            # A --resume whose checkpoints were cleaned/moved lands here too
+            # (advisor r4): warn and keep the prior stream as .bak so the
+            # history is recoverable, not silently destroyed.
+            if resume:
+                backup = self.logger.backup()
+                print("WARNING: --resume found no 'last' checkpoint in "
+                      f"{self.run_dir}; starting fresh"
+                      + (f" (prior metrics saved to {backup})" if backup
+                         else ""))
             self.logger.reset()
 
         # Tensor parallelism: a mesh with model-axis > 1 carries the

@@ -7,7 +7,13 @@ the 2026-08-17 measurement showed fused = 0.95x), both fused kernels
 are pinned per arm (tools/_subproc.py) so a lingering session knob
 cannot turn this into an A/A comparison.
 
-    python tools/measure_fused_ab.py [--batch 8] [--timeout 900]
+    python tools/measure_fused_ab.py [--batch 8] [--timeout 900] \
+        [--num-heads 16]
+
+--num-heads 3 re-runs the set at the TPU-native dh=128 packed layout
+(round-4 verdict: every fusion rejection was measured at 16x24 only; the
+dh=128 arm has different operand layouts, no relayout traffic, and a
+B=8 peak, so none of the dh=24 negative results transfer).
 """
 
 import argparse
@@ -22,13 +28,14 @@ WORKER = r"""
 import sys
 sys.path.insert(0, {repo!r})
 from bench import measure
-print("RESULT", measure({batch}))
+print("RESULT", measure({batch}, num_heads={num_heads}))
 """
 
 
-def run_mode(name: str, batch: int, env_pins: dict, timeout: int) -> dict:
+def run_mode(name: str, batch: int, env_pins: dict, timeout: int,
+             num_heads: int = 16) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = WORKER.format(repo=repo, batch=batch)
+    code = WORKER.format(repo=repo, batch=batch, num_heads=num_heads)
     return run_worker(name, code, env_pins, timeout,
                       lambda t: {"steps_per_s": round(float(t[0]), 1)})
 
@@ -58,19 +65,22 @@ ARMS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--num-heads", type=int, default=16)
     ap.add_argument("--timeout", type=int, default=900)
     ap.add_argument("--arms",
                     default="fused,unfused,adaln_only,spatial_only,headmajor")
     args = ap.parse_args()
     results = {}
     for arm in args.arms.split(","):
-        results[arm] = run_mode(arm, args.batch, ARMS[arm], args.timeout)
-        print(json.dumps(results[arm]), flush=True)
+        results[arm] = run_mode(arm, args.batch, ARMS[arm], args.timeout,
+                                num_heads=args.num_heads)
+        print(json.dumps({"num_heads": args.num_heads, **results[arm]}),
+              flush=True)
     ok = {a: r["steps_per_s"] for a, r in results.items()
           if r.get("status") == "ok"}
     if "unfused" in ok:
         base = ok["unfused"]
-        print(json.dumps({"batch": args.batch,
+        print(json.dumps({"batch": args.batch, "num_heads": args.num_heads,
                           "vs_unfused": {a: round(v / base, 3)
                                          for a, v in ok.items()}}))
 

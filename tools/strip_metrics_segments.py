@@ -25,10 +25,16 @@ def strip(path: str, dry: bool) -> str:
         return f"{path}: single segment ({len(recs)} records), unchanged"
     cut = starts[-1]
     if not dry:
+        # the in-place rewrite is destructive — keep the dropped prefix
+        # recoverable (advisor r4)
+        with open(path + ".stripped.bak", "w") as f:
+            for r in recs[:cut]:
+                f.write(json.dumps(r) + "\n")
         with open(path, "w") as f:
             for r in recs[cut:]:
                 f.write(json.dumps(r) + "\n")
-    return (f"{path}: dropped {cut} superseded records, "
+    return (f"{path}: dropped {cut} superseded records "
+            f"(saved to {path}.stripped.bak), "
             f"kept {len(recs) - cut}{' (dry-run)' if dry else ''}")
 
 
