@@ -287,7 +287,13 @@ class ParallelMLPAttention(nn.Module):
         q = proj(0, d)
         k = proj(d, 2 * d)
         v = proj(2 * d, 3 * d)
-        mlp = proj(3 * d, 3 * d + mlp_hidden)
+        # Opt-in (LAM_SLIDE_FUSED_MLP=1): compute the whole MLP branch in
+        # the tail's VMEM-resident kernel instead — the [.., n, M] gelu
+        # intermediate then never round-trips HBM (ops/fused_mlp.py).
+        from lam_slide_tpu.ops import fused_mlp as fused_mlp_mod
+
+        use_fmlp = fused_mlp_mod.use_kernel()
+        mlp = None if use_fmlp else proj(3 * d, 3 * d + mlp_hidden)
 
         long_axis = self.attention_mode != "linear" and n > self.packed_threshold
         if long_axis and cos is not None and self.fused_temporal:
@@ -400,15 +406,20 @@ class ParallelMLPAttention(nn.Module):
         # without materializing the [.., n, D+M] concat buffer; the f32
         # partials add before the single bf16 rounding.
         w2 = w2_raw.astype(self.dtype)
-        gmlp = nn.gelu(mlp, approximate=False)
         nd = attn.ndim - 1
         out32 = jax.lax.dot_general(
             attn, w2[:d], (((nd,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            gmlp, w2[d:], (((nd,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
         )
+        if use_fmlp:
+            out32 = out32 + fused_mlp_mod.fused_mlp(
+                xd, w1[:, 3 * d:], b1[3 * d:], w2[d:])
+        else:
+            gmlp = nn.gelu(mlp, approximate=False)
+            out32 = out32 + jax.lax.dot_general(
+                gmlp, w2[d:], (((nd,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return out32.astype(self.dtype) + b2_raw.astype(self.dtype)
 
 

@@ -24,6 +24,7 @@ KNOBS = (
     "LAM_SLIDE_EMIT_HEADMAJOR",
     "LAM_SLIDE_NO_PACKED_FLASH",
     "LAM_SLIDE_SHORT_ATTN",
+    "LAM_SLIDE_FUSED_MLP",
 )
 
 

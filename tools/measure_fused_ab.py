@@ -59,6 +59,10 @@ ARMS = {
     # rides the matmul's output write) and linear2 contracts the 4D attn
     # directly — VERDICT r2 levers (a)+(b).
     "emit_headmajor": {"LAM_SLIDE_EMIT_HEADMAJOR": "1"},
+    # MLP branch (linear1 mlp-slice -> gelu -> linear2 mlp-slice) in one
+    # VMEM-resident kernel — the gelu intermediate never touches HBM
+    # (ops/fused_mlp.py; round-5 dh=128 glue lever).
+    "fused_mlp": {"LAM_SLIDE_FUSED_MLP": "1"},
 }
 
 
