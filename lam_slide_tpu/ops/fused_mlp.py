@@ -58,10 +58,15 @@ def reference_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, o_ref):
+    # exact GELU via the polynomial erf — Mosaic has no erf lowering
+    # (same helper contract as ops/fused_spatial_block._gelu_exact; the
+    # ~1.5e-7 erf deviation is far below bf16 rounding)
+    from lam_slide_tpu.ops.fused_spatial_block import _gelu_exact
+
     x = x_ref[...]
     mid = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     mid = (mid + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
-    gmid = jax.nn.gelu(mid, approximate=False)
+    gmid = _gelu_exact(mid)
     o_ref[...] = jnp.dot(gmid, w2_ref[...],
                          preferred_element_type=jnp.float32)
 
