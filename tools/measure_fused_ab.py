@@ -63,6 +63,10 @@ ARMS = {
     # VMEM-resident kernel — the gelu intermediate never touches HBM
     # (ops/fused_mlp.py; round-5 dh=128 glue lever).
     "fused_mlp": {"LAM_SLIDE_FUSED_MLP": "1"},
+    # The round-5 dh=128 winner (kernel_normrope 1.047x) stacked with the
+    # MLP-branch kernel — the two touch disjoint parts of the layer.
+    "normrope_mlp": {"LAM_SLIDE_KERNEL_NORMROPE": "1",
+                     "LAM_SLIDE_FUSED_MLP": "1"},
 }
 
 

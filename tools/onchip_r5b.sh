@@ -29,8 +29,11 @@ wait_for_runner_exit /tmp/onchip/r5.pid || { note "r5b aborted waiting on r5"; e
 note "r5 done; starting r5b queue"
 
 one_pass() {
-  run_step r5b_fused_mlp_h3 2400 python tools/measure_fused_ab.py \
-    --num-heads 3 --batch 8 --arms unfused,fused_mlp
+  # combo: the dh=128 kernel_normrope win (1.047x) stacked with fused_mlp,
+  # in-session controls for both solos — the 5x gate is ~1180 steps/s
+  run_step r5b_fused_mlp_h3 3600 python tools/measure_fused_ab.py \
+    --num-heads 3 --batch 8 \
+    --arms unfused,fused_mlp,kernel_normrope,normrope_mlp
   run_step r5b_fused_mlp_ref 2400 python tools/measure_fused_ab.py \
     --num-heads 16 --batch 2 --arms unfused,fused_mlp
   run_step r5b_forecast_pep2 3600 python tools/eval_forecast_gap.py \
