@@ -326,8 +326,19 @@ class ParallelMLPAttention(nn.Module):
             from lam_slide_tpu.ops import attention as attention_mod
             forced_backend = attention_mod.FORCE_BACKEND or os.environ.get(
                 "LAM_SLIDE_ATTN_BACKEND")
+            # QKNorm+RoPE fused into the flash panel loads: a measured
+            # 0.92x LOSS at dh=24 (head-major entry pays the 24-lane
+            # transpose pathology) but a measured 1.047x WIN at dh=128
+            # (tile-aligned transposes; PERF.md round-5 dh=128 table), so
+            # it is the DEFAULT exactly at dh % 128 == 0 on TPU.
+            # LAM_SLIDE_KERNEL_NORMROPE=1 forces it on elsewhere (A/B);
+            # LAM_SLIDE_NO_KERNEL_NORMROPE=1 vetoes the default.
+            kernel_nr_default = (
+                dh % 128 == 0 and jax.default_backend() == "tpu"
+                and os.environ.get("LAM_SLIDE_NO_KERNEL_NORMROPE") != "1")
             kernel_nr = (long_sdp and cos is not None
-                         and os.environ.get("LAM_SLIDE_KERNEL_NORMROPE") == "1"
+                         and (os.environ.get("LAM_SLIDE_KERNEL_NORMROPE") == "1"
+                              or kernel_nr_default)
                          and forced_backend != "xla")
             headmajor = (long_sdp and cos is not None and not kernel_nr
                          and os.environ.get(

@@ -35,10 +35,18 @@ FORCE_KERNEL = False
 
 
 def use_kernel() -> bool:
+    # DEFAULT ON on TPU (measured 2026-08-21, tools/measure_fused_ab.py):
+    # +10.6% at the 3x128 split (B=8) and +5.6% at the reference 16x24
+    # split (B=2) — the only fusion lever that wins at BOTH layouts.
+    # LAM_SLIDE_NO_FUSED_MLP=1 vetoes; LAM_SLIDE_FUSED_MLP=1 force-enables
+    # (A/B arms pin every knob explicitly via tools/_subproc.py).
     if FORCE_KERNEL:
         return True
-    return (os.environ.get("LAM_SLIDE_FUSED_MLP") == "1"
-            and jax.default_backend() == "tpu")
+    if os.environ.get("LAM_SLIDE_FUSED_MLP") == "1":  # explicit beats veto
+        return jax.default_backend() == "tpu"
+    if os.environ.get("LAM_SLIDE_NO_FUSED_MLP") == "1":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _interpret() -> bool:

@@ -25,6 +25,8 @@ KNOBS = (
     "LAM_SLIDE_NO_PACKED_FLASH",
     "LAM_SLIDE_SHORT_ATTN",
     "LAM_SLIDE_FUSED_MLP",
+    "LAM_SLIDE_NO_FUSED_MLP",
+    "LAM_SLIDE_NO_KERNEL_NORMROPE",
 )
 
 
@@ -50,6 +52,12 @@ def run_worker(name, code, env_pins, timeout, parse, timeout_note=""):
     dict merged into the ok-result.
     """
     pins = {k: "0" for k in KNOBS}
+    # Round-5 default flips (fused_mlp everywhere, kernel_normrope at
+    # dh%128==0): the A/B baseline stays "everything off", so the vetoes
+    # are pinned ON by default and arms opt features back in explicitly
+    # (the explicit LAM_SLIDE_<FEATURE>=1 beats its veto in the dispatch).
+    pins["LAM_SLIDE_NO_FUSED_MLP"] = "1"
+    pins["LAM_SLIDE_NO_KERNEL_NORMROPE"] = "1"
     pins.update(env_pins)
     env = {**os.environ, **pins}
     code = _CACHE_PREAMBLE + code
